@@ -1,0 +1,242 @@
+package graft
+
+import graft.config.GoldenConfig._
+
+/** DuckDB oracle SQL for every SQL-expressible query in [[Queries]].
+  *
+  * The oracles recompute each operator from first principles in ANSI-ish
+  * DuckDB SQL over the same parquet tables — including the full MinHash/
+  * LSH/verify/connected-components pipeline — using the identical mod-P
+  * integer arithmetic pinned in [[graft.config.GoldenConfig]], so results
+  * hash-match the Spark outputs bit-for-bit.
+  *
+  * DuckDB-vs-Spark parity notes baked in here:
+  *  - `xor(a,b)` (DuckDB `^` is power), `//` integer division (`div` in Spark)
+  *  - every aggregate cast `::BIGINT` (DuckDB sum(BIGINT) is HUGEINT)
+  *  - DuckDB `range(a,b)` end-exclusive == Spark `sequence(a,b-1)` inclusive
+  *  - list slicing `l[a:b]` 1-based inclusive == Spark `slice(l, a, b-a+1)`
+  *  - double folds are left-folds in identical order on both sides
+  */
+object OracleSql {
+
+  private val B = StrBase   // 31
+  private val M = LcgMul    // 1103515245
+  private val K = ShingleK
+  private val L = SubstringL
+
+  /** Polynomial string hash of SQL expression `g` into [0, P). */
+  private def strHash(g: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), [unicode(c)::BIGINT FOR c IN string_split_regex($g,'')]), (h,c) -> (h*$B+c) % $P)"
+
+  private val toks =
+    "toks AS (SELECT doc_id, string_split(lower(text),' ') AS t FROM documents)"
+
+  private def shinglesCte(k: Int, name: String = "sh") =
+    s"$name AS (SELECT doc_id, list_distinct([array_to_string(t[i+1:i+$k],' ') FOR i IN range(0, len(t)-${k - 1})]) AS s FROM toks WHERE len(t) >= $k)"
+
+  private val shh =
+    s"shh AS (SELECT doc_id, [${strHash("g")} FOR g IN s] AS xs FROM sh)"
+
+  private val sig =
+    s"sig AS (SELECT doc_id, [list_min([((($M*i + $LcgAddA) % $P) * x + (($M*(i+$BSeedOffset) + $LcgAddB) % $P)) % $P FOR x IN xs]) FOR i IN range(0,$NumHashes)] AS mh FROM shh)"
+
+  private val bandsCte =
+    s"bands AS (SELECT doc_id, j AS band_idx, list_reduce(list_prepend(CAST(0 AS BIGINT), mh[$RowsPerBand*j+1:$RowsPerBand*j+$RowsPerBand]), (h,m) -> (h*$B+m) % $P) AS band_hash FROM sig, unnest(range(0,$Bands)) AS u(j))"
+
+  private val cand =
+    "cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id)"
+
+  private val ver =
+    s"ver AS (SELECT c.a, c.b, len(list_intersect(sa.s, sb.s))::BIGINT AS inter, len(sa.s)::BIGINT AS na, len(sb.s)::BIGINT AS nb FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b WHERE len(list_intersect(sa.s, sb.s))*$TauDen >= $TauNum*(len(sa.s)+len(sb.s)-len(list_intersect(sa.s, sb.s))))"
+
+  private val textPipeline =
+    Seq(toks, shinglesCte(K), shh, sig, bandsCte, cand, ver).mkString(",\n ")
+
+  private val simhashCtes = {
+    val bits = SimHashBits
+    s"""tok AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS token FROM documents),
+ freq AS (SELECT doc_id, token, count(*)::BIGINT AS cnt FROM tok GROUP BY doc_id, token),
+ th AS (SELECT doc_id, cnt, ${strHash("token")} AS h FROM freq),
+ bits AS (SELECT doc_id, b, sum(cnt * (((h >> b) & 1)*2 - 1)) AS s FROM th, unnest(range(0,$bits)) AS u(b) GROUP BY doc_id, b),
+ sim AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)::BIGINT AS simhash FROM bits GROUP BY doc_id)"""
+  }
+
+  val sql: Map[String, String] = Map(
+
+    "q01_token_count" ->
+      "SELECT doc_id, len(string_split(lower(text),' '))::BIGINT AS n_tokens FROM documents ORDER BY doc_id",
+
+    "q02_wordcount" ->
+      """SELECT token, count(*)::BIGINT AS cnt, count(DISTINCT doc_id)::BIGINT AS doc_cnt
+FROM (SELECT doc_id, unnest(string_split(lower(text),' ')) AS token FROM documents)
+GROUP BY token ORDER BY token""",
+
+    "q03_shingle_stats" ->
+      s"""WITH $toks
+SELECT doc_id, (CASE WHEN len(t) >= $K THEN len(list_distinct([array_to_string(t[i+1:i+$K],' ') FOR i IN range(0, len(t)-${K - 1})])) ELSE 0 END)::BIGINT AS n_shingles
+FROM toks ORDER BY doc_id""",
+
+    "q04_minhash_sig" ->
+      s"""WITH $toks, ${shinglesCte(K)}, $shh, $sig
+SELECT doc_id, mh[1] AS mh_first, mh[${NumHashes / 2}] AS mh_mid, mh[$NumHashes] AS mh_last,
+ list_reduce(list_prepend(CAST(0 AS BIGINT), mh), (a,x) -> (a+x) % $P) AS mh_sum
+FROM sig ORDER BY doc_id""",
+
+    "q05_lsh_bands" ->
+      s"""WITH $toks, ${shinglesCte(K)}, $shh, $sig, $bandsCte
+SELECT doc_id, band_idx, band_hash FROM bands ORDER BY doc_id, band_idx""",
+
+    "q06_lsh_pairs" ->
+      s"""WITH $toks, ${shinglesCte(K)}, $shh, $sig, $bandsCte, $cand
+SELECT a, b FROM cand ORDER BY a, b""",
+
+    "q07_verify_pairs" ->
+      s"""WITH $toks, ${shinglesCte(K)}, $shh, $sig, $bandsCte, $cand, $ver
+SELECT a, b, inter, na, nb FROM ver ORDER BY a, b""",
+
+    "q08_dedup_clusters" ->
+      s"""WITH RECURSIVE $textPipeline,
+ reps AS (SELECT lower(text) AS lt, min(doc_id) AS rep FROM documents GROUP BY 1),
+ exd AS (SELECT r.rep AS a, d.doc_id AS b FROM reps r JOIN (SELECT doc_id, lower(text) AS lt FROM documents) d USING (lt) WHERE d.doc_id <> r.rep),
+ edges AS (SELECT a, b FROM ver UNION SELECT a, b FROM exd),
+ ed AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+ reach(id, lbl) AS (SELECT a, a FROM ed UNION SELECT ed.b, reach.lbl FROM reach JOIN ed ON ed.a = reach.id),
+ comp AS (SELECT id, min(lbl) AS cid FROM reach GROUP BY id)
+SELECT d.doc_id, COALESCE(comp.cid, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN comp ON comp.id = d.doc_id ORDER BY d.doc_id""",
+
+    "q09_exact_dedup" ->
+      "SELECT doc_id, min(doc_id) OVER (PARTITION BY lower(text)) AS keeper FROM documents ORDER BY doc_id",
+
+    "q10_simhash" ->
+      s"""WITH $simhashCtes
+SELECT doc_id, simhash FROM sim ORDER BY doc_id""",
+
+    "q11_simhash_pairs" -> {
+      val chunkBits = SimHashBits / HammingChunks
+      val mask = (1L << chunkBits) - 1L
+      s"""WITH $simhashCtes,
+ bk AS (SELECT doc_id, c AS chunk_idx, (simhash >> (c*$chunkBits)) & $mask AS chunk_val FROM sim, unnest(range(0,$HammingChunks)) AS u(c)),
+ cd AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bk x JOIN bk y ON x.chunk_idx = y.chunk_idx AND x.chunk_val = y.chunk_val AND x.doc_id < y.doc_id)
+SELECT cd.a, cd.b, bit_count(xor(sa.simhash, sb.simhash))::BIGINT AS dist
+FROM cd JOIN sim sa ON sa.doc_id = cd.a JOIN sim sb ON sb.doc_id = cd.b
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= $HammingMax ORDER BY cd.a, cd.b"""
+    },
+
+    "q12_substring_pairs" ->
+      s"""WITH $toks, ${shinglesCte(L, "g8")},
+ gh AS (SELECT DISTINCT doc_id, ${strHash("g")} AS gram_hash FROM (SELECT doc_id, unnest(s) AS g FROM g8)),
+ p AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM gh x JOIN gh y ON x.gram_hash = y.gram_hash AND x.doc_id < y.doc_id)
+SELECT a, b FROM p ORDER BY a, b""",
+
+    "q13_fingerprint" ->
+      s"SELECT doc_id, ${strHash("lower(text)")} AS fp FROM documents ORDER BY doc_id",
+
+    "q14_langid" -> {
+      val counts = graft.operators.TextAnalysis.LangMarkers.map { case (lang, pat) =>
+        s"(length(t)-length(replace(t,'$pat','')))//${pat.length} AS c_$lang"
+      }.mkString(", ")
+      val best = graft.operators.TextAnalysis.LangMarkers
+        .map { case (l, _) => s"c_$l" }.mkString("greatest(", ", ", ")")
+      val cases = graft.operators.TextAnalysis.LangMarkers
+        .map { case (l, _) => s"WHEN c_$l = m AND m > 0 THEN '$l'" }.mkString(" ")
+      s"""WITH base AS (SELECT doc_id, lower(text) AS t FROM documents),
+ c AS (SELECT doc_id, $counts FROM base),
+ g AS (SELECT *, $best AS m FROM c)
+SELECT doc_id, c_en, c_de, c_es, c_fr, c_zh, (CASE $cases ELSE 'und' END) AS lang_guess
+FROM g ORDER BY doc_id"""
+    },
+
+    "q15_quality" -> {
+      val sw = graft.operators.TextAnalysis.Stopwords.map(s => s"'$s'").mkString("[", ",", "]")
+      s"""WITH $toks, d AS (SELECT doc_id, length(text)::BIGINT AS n_chars FROM documents)
+SELECT toks.doc_id,
+ len(t)::BIGINT AS n_tokens,
+ len(list_distinct(t))::BIGINT AS n_distinct,
+ d.n_chars,
+ len(list_intersect(t, $sw))::BIGINT AS distinct_stopwords,
+ len([x FOR x IN t IF list_contains($sw, x)])::BIGINT AS stopword_cnt,
+ (len(t) >= 10 AND len(t) <= 1000 AND len(list_distinct(t))*10 >= len(t)*2
+  AND len([x FOR x IN t IF list_contains($sw, x)])*2 <= len(t)) AS quality_ok
+FROM toks JOIN d ON d.doc_id = toks.doc_id ORDER BY toks.doc_id"""
+    },
+
+    "q16_sim_measures" ->
+      """WITH t AS (SELECT doc_id, list_distinct(string_split(lower(text),' ')) AS ts FROM documents WHERE doc_id < 40)
+SELECT x.doc_id AS a, y.doc_id AS b,
+ len(list_intersect(x.ts, y.ts))::BIGINT AS inter,
+ len(x.ts)::BIGINT AS na, len(y.ts)::BIGINT AS nb,
+ (len(x.ts) + len(y.ts) - len(list_intersect(x.ts, y.ts)))::BIGINT AS uni,
+ (2*len(list_intersect(x.ts, y.ts)))::BIGINT AS dice_num,
+ least(len(x.ts), len(y.ts))::BIGINT AS overlap_den,
+ (least(len(x.ts), len(y.ts))*1000) // greatest(len(x.ts), len(y.ts)) AS relnum_millis
+FROM t x JOIN t y ON x.doc_id < y.doc_id ORDER BY a, b""",
+
+    "q17_ann_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+ s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+   list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [qv[i+1]::DOUBLE * embedding[i+1]::DOUBLE FOR i IN range(0, len(qv))]), (a,v) -> a+v)
+   / sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [qv[i+1]::DOUBLE * qv[i+1]::DOUBLE FOR i IN range(0, len(qv))]), (a,v) -> a+v))
+   / sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE FOR i IN range(0, len(embedding))]), (a,v) -> a+v)) AS cos
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+ rk AS (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)::BIGINT AS rank FROM s)
+SELECT query_id, rank, neighbor_id FROM rk WHERE rank <= $AnnTopK ORDER BY query_id, rank""",
+
+    "q18_ann_lsh_buckets" ->
+      s"""SELECT vec_id, list_reduce(list_prepend(CAST(0 AS BIGINT), [
+ (CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+    [embedding[i+1]::DOUBLE * ((($M*(h*1024+i) + $LcgAddA) % $P) % 2 * 2 - 1)::DOUBLE FOR i IN range(0, len(embedding))]),
+    (a,v) -> a+v) > 0 THEN 1 ELSE 0 END)::BIGINT
+ FOR h IN range(${AnnHyperplanes - 1},-1,-1)]), (acc,b) -> acc*2+b) AS bucket
+FROM embeddings ORDER BY vec_id""",
+
+    "q19_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+ sum(CAST(round(l_quantity*100) AS BIGINT))::BIGINT AS sum_qty_c,
+ sum(CAST(round(l_extendedprice*100) AS BIGINT))::BIGINT AS sum_price_c,
+ count(*)::BIGINT AS cnt
+FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+
+    "q20_join_revenue" ->
+      """SELECT o_orderpriority,
+ sum(CAST(round(l_extendedprice * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT))::BIGINT AS revenue_c,
+ count(*)::BIGINT AS n_items
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q21_semi_anti" ->
+      """WITH w AS (SELECT c_nationkey, count(*)::BIGINT AS n_with FROM customer c
+   WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) GROUP BY c_nationkey),
+ wo AS (SELECT c_nationkey, count(*)::BIGINT AS n_without FROM customer c
+   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) GROUP BY c_nationkey)
+SELECT COALESCE(w.c_nationkey, wo.c_nationkey)::BIGINT AS nationkey,
+ COALESCE(n_with, 0)::BIGINT AS n_with, COALESCE(n_without, 0)::BIGINT AS n_without
+FROM w FULL OUTER JOIN wo ON w.c_nationkey = wo.c_nationkey ORDER BY nationkey""",
+
+    "q22_window_topk" ->
+      """SELECT o_custkey, rnk, o_orderkey FROM (
+ SELECT o_custkey, o_orderkey,
+  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)::BIGINT AS rnk
+ FROM orders) t WHERE rnk <= 2 ORDER BY o_custkey, rnk""",
+
+    "q23_setops" ->
+      """SELECT 'intersect' AS op, nationkey FROM (SELECT DISTINCT c_nationkey::BIGINT AS nationkey FROM customer INTERSECT SELECT DISTINCT s_nationkey::BIGINT FROM supplier) a
+UNION ALL
+SELECT 'except' AS op, nationkey FROM (SELECT DISTINCT c_nationkey::BIGINT AS nationkey FROM customer EXCEPT SELECT DISTINCT s_nationkey::BIGINT FROM supplier) b
+UNION ALL
+SELECT 'union' AS op, nationkey FROM (SELECT DISTINCT c_nationkey::BIGINT AS nationkey FROM customer UNION SELECT DISTINCT s_nationkey::BIGINT FROM supplier) c
+ORDER BY op, nationkey""",
+
+    "q24_json_events" ->
+      """SELECT event_type, sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k, count(*)::BIGINT AS n
+FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q25_blocking_stats" ->
+      "SELECT substr(lower(p_name),1,3) AS bkey, count(*)::BIGINT AS block_size FROM part GROUP BY 1 ORDER BY 1",
+
+    "q26_block_histogram" ->
+      """SELECT block_size, count(*)::BIGINT AS n_blocks FROM (
+ SELECT substr(lower(p_name),1,3) AS bkey, count(*)::BIGINT AS block_size FROM part GROUP BY 1) t
+GROUP BY block_size ORDER BY block_size"""
+  )
+}

@@ -1,0 +1,229 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.config.GoldenConfig._
+import graft.functions.TextHash
+import graft.functions.TextHash._
+import graft.operators._
+
+/** Spark implementations behind `SparkEntry.queries`. Each query's DuckDB
+  * oracle lives in [[OracleSql]]; the pair must agree bit-for-bit (the
+  * driver hash-compares values), so everything on the correctness path is
+  * integer mod-P arithmetic or order-pinned double folds.
+  */
+object Queries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+  private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // ---- text path: tokens → shingles → minhash → lsh → verify → clusters ----
+
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+
+  def wordCount(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.wordCount(docs(s, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("token")
+
+  def shingleStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      size(shingles(tokens(col("text")))).cast("long").as("n_shingles"))
+      .orderBy("doc_id")
+
+  private def shingleTbl(s: SparkSession, dir: String): DataFrame =
+    MinHashLsh.shingleTable(docs(s, dir), "doc_id", "text")
+
+  def minhashSig(s: SparkSession, dir: String): DataFrame =
+    MinHashLsh.signatures(shingleTbl(s, dir))
+      .select(col("id").as("doc_id"),
+        element_at(col("sig"), 1).as("mh_first"),
+        element_at(col("sig"), 64).as("mh_mid"),
+        element_at(col("sig"), 128).as("mh_last"),
+        aggregate(col("sig"), lit(0L), (a, x) => (a + x) % lit(P)).as("mh_sum"))
+      .orderBy("doc_id")
+
+  def lshBands(s: SparkSession, dir: String): DataFrame =
+    MinHashLsh.bands(MinHashLsh.signatures(shingleTbl(s, dir)))
+      .select(col("id").as("doc_id"), col("band_idx"), col("band_hash"))
+      .orderBy("doc_id", "band_idx")
+
+  def lshPairs(s: SparkSession, dir: String): DataFrame =
+    MinHashLsh.candidatePairs(MinHashLsh.bands(MinHashLsh.signatures(shingleTbl(s, dir))))
+      .orderBy("a", "b")
+
+  def verifyPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleTbl(s, dir)
+    MinHashLsh.verifyPairs(
+      MinHashLsh.candidatePairs(MinHashLsh.bands(MinHashLsh.signatures(sh))), sh)
+      .orderBy("a", "b")
+  }
+
+  /** Flagship: end-to-end near-dup clustering over documents. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val edges = MinHashLsh.dedupEdges(d, "doc_id", "text")
+    ConnectedComponents.run(s, edges, Some(d.select(col("doc_id").as("id"))))
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  def exactDedup(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      min(col("doc_id")).over(Window.partitionBy(lower(col("text")))).as("keeper"))
+      .orderBy("doc_id")
+
+  // ---- simhash path --------------------------------------------------------
+
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    SimHashNearDup.simhashTable(docs(s, dir), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("simhash"))
+      .orderBy("doc_id")
+
+  def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    SimHashNearDup.nearDupPairs(
+      SimHashNearDup.simhashTable(docs(s, dir), "doc_id", "text"))
+      .orderBy("a", "b")
+
+  // ---- substring path ------------------------------------------------------
+
+  def substringPairs(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.substringPairs(docs(s, dir), "doc_id", "text")
+      .orderBy("a", "b")
+
+  // ---- text analysis -------------------------------------------------------
+
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id").orderBy("doc_id")
+
+  def langId(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(docs(s, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id").orderBy("doc_id")
+
+  def quality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScore(docs(s, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id").orderBy("doc_id")
+
+  /** Set-measure sample (A32/A33/A34/A35 as integer numerators/denominators)
+    * over token SETS of low-id doc pairs. */
+  def simMeasures(s: SparkSession, dir: String): DataFrame = {
+    val t = docs(s, dir).where(col("doc_id") < 40)
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("ts"))
+    val a = t.select(col("doc_id").as("a"), col("ts").as("ta"))
+    val b = t.select(col("doc_id").as("b"), col("ts").as("tb"))
+    a.join(b, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("ta"), col("tb"))).cast("long").as("inter"),
+        size(col("ta")).cast("long").as("na"),
+        size(col("tb")).cast("long").as("nb"))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .withColumn("dice_num", lit(2L) * col("inter"))
+      .withColumn("overlap_den", least(col("na"), col("nb")))
+      .withColumn("relnum_millis",
+        expr("(least(na, nb) * 1000) div greatest(na, nb)"))
+      .orderBy("a", "b")
+  }
+
+  // ---- ANN over embeddings -------------------------------------------------
+
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  def annTopK(s: SparkSession, dir: String): DataFrame = {
+    val c = vecs(s, dir)
+    AnnSearch.bruteForceTopK(c, c.where(col("id") < 10))
+      .orderBy("query_id", "rank")
+  }
+
+  def annLshBuckets(s: SparkSession, dir: String): DataFrame =
+    AnnSearch.lshBuckets(vecs(s, dir))
+      .select(col("id").as("vec_id"), col("bucket"))
+      .orderBy("vec_id")
+
+  // ---- relational operators (reference A-rows over TPC-H-ish tables) -------
+
+  def aggPricing(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(expr("cast(round(l_quantity * 100) AS bigint)")).as("sum_qty_c"),
+        sum(expr("cast(round(l_extendedprice * 100) AS bigint)")).as("sum_price_c"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  def joinRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = tbl(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        expr("cast(round(l_extendedprice * (100 - cast(round(l_discount*100) AS bigint))) AS bigint)").as("rev_c"))
+    val o = tbl(s, dir, "orders")
+    o.join(li, o("o_orderkey") === li("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("rev_c")).as("revenue_c"), count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+  }
+
+  def semiAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = tbl(s, dir, "customer")
+    val o = tbl(s, dir, "orders").select(col("o_custkey"))
+    val withO = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_with"))
+    val withoutO = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_without"))
+    withO.join(withoutO, Seq("c_nationkey"), "full_outer")
+      .select(col("c_nationkey").cast("long").as("nationkey"),
+        coalesce(col("n_with"), lit(0L)).as("n_with"),
+        coalesce(col("n_without"), lit(0L)).as("n_without"))
+      .orderBy("nationkey")
+  }
+
+  def windowTopK(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    tbl(s, dir, "orders")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 2)
+      .select(col("o_custkey"), col("rnk"), col("o_orderkey"))
+      .orderBy("o_custkey", "rnk")
+  }
+
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val c = tbl(s, dir, "customer").select(col("c_nationkey").cast("long").as("nationkey")).distinct()
+    val sup = tbl(s, dir, "supplier").select(col("s_nationkey").cast("long").as("nationkey")).distinct()
+    c.intersect(sup).withColumn("op", lit("intersect"))
+      .unionByName(c.except(sup).withColumn("op", lit("except")))
+      .unionByName(c.union(sup).distinct().withColumn("op", lit("union")))
+      .select(col("op"), col("nationkey"))
+      .orderBy("op", "nationkey")
+  }
+
+  def jsonEvents(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** SimpleBlockingScheme (A37): first-3-chars blocking key + block sizes. */
+  def blockingStats(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "part")
+      .groupBy(substring(lower(col("p_name")), 1, 3).as("bkey"))
+      .agg(count(lit(1)).as("block_size"))
+      .orderBy("bkey")
+
+  /** Block-size histogram (A17 BlockEvaluation). */
+  def blockHistogram(s: SparkSession, dir: String): DataFrame =
+    blockingStats(s, dir)
+      .groupBy(col("block_size"))
+      .agg(count(lit(1)).as("n_blocks"))
+      .orderBy("block_size")
+}

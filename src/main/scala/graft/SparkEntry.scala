@@ -1,13 +1,45 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Implementations live in [[Queries]]; DuckDB oracles in [[OracleSql]]. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * end-to-end near-duplicate clustering (MinHash→LSH→verify→CC). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Queries.dedupClusters(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_token_count"    -> (Queries.tokenCount(_, _)),
+    "q02_wordcount"      -> (Queries.wordCount(_, _)),
+    "q03_shingle_stats"  -> (Queries.shingleStats(_, _)),
+    "q04_minhash_sig"    -> (Queries.minhashSig(_, _)),
+    "q05_lsh_bands"      -> (Queries.lshBands(_, _)),
+    "q06_lsh_pairs"      -> (Queries.lshPairs(_, _)),
+    "q07_verify_pairs"   -> (Queries.verifyPairs(_, _)),
+    "q08_dedup_clusters" -> (Queries.dedupClusters(_, _)),
+    "q09_exact_dedup"    -> (Queries.exactDedup(_, _)),
+    "q10_simhash"        -> (Queries.simhash(_, _)),
+    "q11_simhash_pairs"  -> (Queries.simhashPairs(_, _)),
+    "q12_substring_pairs" -> (Queries.substringPairs(_, _)),
+    "q13_fingerprint"    -> (Queries.fingerprint(_, _)),
+    "q14_langid"         -> (Queries.langId(_, _)),
+    "q15_quality"        -> (Queries.quality(_, _)),
+    "q16_sim_measures"   -> (Queries.simMeasures(_, _)),
+    "q17_ann_topk"       -> (Queries.annTopK(_, _)),
+    "q18_ann_lsh_buckets" -> (Queries.annLshBuckets(_, _)),
+    "q19_agg_pricing"    -> (Queries.aggPricing(_, _)),
+    "q20_join_revenue"   -> (Queries.joinRevenue(_, _)),
+    "q21_semi_anti"      -> (Queries.semiAnti(_, _)),
+    "q22_window_topk"    -> (Queries.windowTopK(_, _)),
+    "q23_setops"         -> (Queries.setOps(_, _)),
+    "q24_json_events"    -> (Queries.jsonEvents(_, _)),
+    "q25_blocking_stats" -> (Queries.blockingStats(_, _)),
+    "q26_block_histogram" -> (Queries.blockHistogram(_, _))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = OracleSql.sql
 }

@@ -1,0 +1,86 @@
+package graft.config
+
+/** The pinned "shingle/signature config" (BASELINE.json north_rule: cluster
+  * assignments must match the reference's at the *same* shingle/signature
+  * config). One object, shared by jobs, queries, oracles and tests — change
+  * here, re-derive goldens, nothing else moves.
+  *
+  * Reference provenance (path-level, mount empty at survey time — SURVEY.md
+  * §0): shingling/similarity semantics follow
+  * R:src/main/scala/de/hpi/ingestion/deduplication/similarity/Jaccard.scala
+  * (n-gram Jaccard) and .../deduplication/Blocking.scala (blocking keys);
+  * the MinHash/LSH/SimHash replacements are our Spark-native design (§2B).
+  *
+  * All hash arithmetic is pure positive integer math mod a 31-bit prime so
+  * the driver's DuckDB oracle can reproduce it bit-for-bit in ANSI SQL
+  * (no engine-specific hash functions on the correctness path).
+  */
+object GoldenConfig {
+  /** Mersenne prime 2^31 - 1; all hashes live in [0, P). Products of two
+    * values < P fit in a signed 64-bit long (no overflow under ANSI mode). */
+  val P: Long = 2147483647L
+
+  /** Polynomial rolling-hash base for strings (h = (h*31 + code) mod P). */
+  val StrBase: Long = 31L
+
+  /** LCG constants (glibc) used to derive the per-hash affine coefficients:
+    * a_i = (1103515245*i + 12345) mod P, b_i = (1103515245*(i+7) + 54321) mod P. */
+  val LcgMul: Long = 1103515245L
+  val LcgAddA: Long = 12345L
+  val LcgAddB: Long = 54321L
+  val BSeedOffset: Long = 7L
+
+  /** Token shingle size k for the caption path (word 3-shingles). */
+  val ShingleK: Int = 3
+  /** MinHash signature length n. */
+  val NumHashes: Int = 128
+  /** LSH: n = bands * rowsPerBand; collision threshold ~ (1/b)^(1/r) ≈ 0.42. */
+  val Bands: Int = 32
+  val RowsPerBand: Int = 4
+  /** Verify-stage exact-Jaccard threshold τ, as an exact rational num/den so
+    * the filter is integer-only: |A∩B| * TauDen >= TauNum * |A∪B|. */
+  val TauNum: Long = 4L
+  val TauDen: Long = 5L
+
+  /** Substring pass: two docs are substring-duplicates if they share an
+    * exact run of >= SubstringL consecutive tokens. */
+  val SubstringL: Int = 8
+
+  /** SimHash width for the oracle-checkable document variant (32 bits keeps
+    * every intermediate sum well inside a long). Image path uses 64. */
+  val SimHashBits: Int = 32
+  /** Max Hamming distance for simhash near-duplicates. */
+  val HammingMax: Int = 3
+  /** Number of bucket chunks for Hamming-<=HammingMax search (pigeonhole:
+    * HammingMax+1 chunks guarantee one identical chunk). */
+  val HammingChunks: Int = HammingMax + 1
+
+  /** Image path (input_hint table). */
+  val PsnrMinDb: Double = 40.0
+  val PhashBits: Int = 64
+
+  /** Skew handling: LSH buckets with more members than SaltCap are salted
+    * into SaltFanout sub-tasks (pair-preserving replication). */
+  val SaltCap: Int = 4096
+  val SaltFanout: Int = 16
+
+  /** ANN: random-hyperplane LSH bits and brute-force top-k. */
+  val AnnHyperplanes: Int = 16
+  val AnnTopK: Int = 5
+
+  /** Deterministic seed for the synthetic image+caption generator. */
+  val Seed: Long = 42L
+
+  /** Affine MinHash coefficients, host-side (mirrors the SQL formula). */
+  def hashA(i: Int): Long = (LcgMul * i + LcgAddA) % P
+  def hashB(i: Int): Long = (LcgMul * (i + BSeedOffset) + LcgAddB) % P
+
+  /** Host-side polynomial string hash — must equal the Spark/DuckDB column
+    * expression exactly (unit-tested). Codepoint-based; inputs are ASCII. */
+  def strHash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = (h * StrBase + s.charAt(i).toLong) % P; i += 1 }
+    h
+  }
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.config.GoldenConfig._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (array<float>). Two paths:
+  *
+  *  - brute-force cosine top-k: exact baseline. Query set × corpus with a
+  *    codegen'd dot product (`zip_with` + left-fold `aggregate` — the fold
+  *    order is pinned so the DuckDB oracle reproduces the doubles
+  *    bit-for-bit). The query side broadcasts; corpus is never shuffled.
+  *  - random-hyperplane LSH (SimHash for vectors, Charikar'02): bucket =
+  *    sign bits of `AnnHyperplanes` pseudo-random ±1 hyperplanes derived
+  *    from the pinned LCG — the scale path: candidates come from one
+  *    bucket equi-join, exact cosine re-ranks only candidates.
+  *
+  * Embedding-cosine near-dup dedup reuses `lshBuckets` + `cosine` with a
+  * threshold instead of top-k.
+  */
+object AnnSearch {
+
+  /** Left-fold sum of element products as double — order-pinned. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / norm(a) / norm(b)
+
+  /** Exact top-k neighbors for each query row (`queries` ⊂ corpus shape:
+    * (id, vec)). Output: (query_id, rank, neighbor_id) — integer-only so
+    * result hashing is float-free; ties broken by neighbor id. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = AnnTopK): DataFrame = {
+    val q = broadcast(queries.select(col("id").as("query_id"), col("vec").as("qv")))
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
+  /** Deterministic ±1 hyperplane weight for (plane h, dim i):
+    * sign = 2*((LcgMul*(h*1024+i) + LcgAddA) mod P mod 2) - 1. */
+  private def planeSign(h: Column, i: Column): Column =
+    ((lit(LcgMul) * (h * 1024L + i) + lit(LcgAddA)) % lit(P)) % 2L * 2L - 1L
+
+  /** Signed projection of vec onto pseudo-random hyperplane h. */
+  private def projection(vec: Column, h: Column): Column =
+    aggregate(
+      zip_with(vec,
+        sequence(lit(0L), size(vec).cast("long") - 1L),
+        (x, i) => x.cast("double") * planeSign(h, i).cast("double")),
+      lit(0.0), (a, v) => a + v)
+
+  /** (id, bucket): random-hyperplane LSH bucket id in [0, 2^planes) —
+    * bucket = fold over planes (high→low) of acc*2 + signBit. */
+  def lshBuckets(corpus: DataFrame, planes: Int = AnnHyperplanes): DataFrame =
+    corpus.select(col("id"),
+      aggregate(sequence(lit(planes - 1L), lit(0L)), lit(0L), (acc, h) =>
+        acc * 2L + when(projection(col("vec"), h) > 0.0, lit(1L)).otherwise(lit(0L)))
+        .as("bucket"))
+
+  /** ANN via LSH buckets: candidates from bucket join, exact cosine top-k
+    * re-rank within candidates. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = AnnTopK,
+              planes: Int = AnnHyperplanes): DataFrame = {
+    val cb = lshBuckets(corpus, planes).withColumnRenamed("id", "neighbor_id")
+    val qb = lshBuckets(queries, planes).withColumnRenamed("id", "query_id")
+    val qv = queries.select(col("id").as("query_id"), col("vec").as("qv"))
+    val cv = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"))
+    val cand = qb.join(cb, "bucket")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+    val scored = cand.join(broadcast(qv), "query_id").join(cv, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge DataFrame — the clustering
+  * stage that replaces the reference's master-pointer resolution
+  * (R:.../datalake/models/Subject.scala `master: UUID`, SURVEY.md §2 B10)
+  * with cluster_id = min member id per component.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) expressed as
+  * DataFrame joins — no GraphX (north rule), no driver-side graph. Converges
+  * in O(log^2 n) rounds; every round is two shuffles (groupBy + join) and is
+  * `localCheckpoint`ed to truncate lineage, which is what survives a
+  * 10^12-edge input on a real cluster (iterative joins without checkpoints
+  * blow up the plan).
+  *
+  * Works for any orderable id type (long doc ids, string image ids): min is
+  * the column type's native ordering, so results are comparable with a SQL
+  * oracle computing the same min-label closure.
+  */
+object ConnectedComponents {
+
+  /** @param edges (a, b) pairs, same orderable type; self-loops/dups allowed.
+    * @param nodes optional (id) universe — rows with no edges become
+    *              singleton clusters.
+    * @return (id, cluster_id) with cluster_id = min id of the component.
+    */
+  def run(spark: SparkSession, edges: DataFrame, nodes: Option[DataFrame] = None,
+          maxIter: Int = 50): DataFrame = {
+    val idType = edges.schema("a").dataType
+    require(edges.schema("b").dataType == idType, "edge endpoints must share a type")
+
+    var e = edges.select(col("a"), col("b")).where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .localCheckpoint()
+
+    var converged = e.isEmpty
+    var iter = 0
+    var sig = checksum(e)
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val nextSig = checksum(next)
+      converged = nextSig == sig
+      sig = nextSig
+      e = next
+      iter += 1
+    }
+
+    // At fixpoint edges form stars (member, root=min of component).
+    val stars = e.select(col("b").as("id"), col("a").as("cluster_id"))
+      .union(e.select(col("a").as("id"), col("a").as("cluster_id")))
+      .distinct()
+    nodes match {
+      case Some(n) =>
+        n.select(col("id")).distinct()
+          .join(stars, Seq("id"), "left")
+          .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+      case None => stars
+    }
+  }
+
+  /** large-star: for each node u, link every neighbor v > u to
+    * m(u) = min(Γ(u) ∪ {u}). Keeps high-degree work on the small side. */
+  private[operators] def largeStar(e: DataFrame): DataFrame = {
+    val nbrs = e.union(e.select(col("b").as("a"), col("a").as("b")))
+    val m = nbrs.groupBy(col("a").as("u"))
+      .agg(min(col("b")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    nbrs.where(col("b") > col("a"))
+      .join(m, nbrs("a") === m("u"))
+      .select(least(col("b"), col("m")).as("a"), greatest(col("b"), col("m")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+  }
+
+  /** small-star: orient edges to (u=max, v=min); link every small neighbor
+    * (and u itself) to m(u) = min small neighbor. */
+  private[operators] def smallStar(e: DataFrame): DataFrame = {
+    val oriented = e.select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .where(col("u") =!= col("v"))
+    val m = oriented.groupBy("u").agg(min(col("v")).as("m"))
+    oriented.join(m, "u")
+      .select(least(col("v"), col("m")).as("a"), greatest(col("v"), col("m")).as("b"))
+      .where(col("a") =!= col("b"))
+      .union(m.select(col("m").as("a"), col("u").as("b")))
+      .distinct()
+  }
+
+  /** Cheap order-insensitive convergence signature: (count, xor of row
+    * hashes) — overflow-free under ANSI mode; avoids a full except() pair
+    * per iteration. */
+  private def checksum(e: DataFrame): (Long, Long) = {
+    val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("a"), col("b")))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.config.GoldenConfig._
+import graft.functions.TextHash._
+
+/** Caption/text near-duplicate candidate generation: token shingles →
+  * batched MinHash signatures → LSH band buckets → bucket self-join.
+  *
+  * Replaces the reference's blocking + candidate stages
+  * (R:.../deduplication/Blocking.scala `blocking()` — key-by + cogroup —
+  * and R:.../deduplication/DuplicateCandidates.scala per-block n² pairing;
+  * SURVEY.md §2 A11/A12/A16 → B3/B5/B7/B8) with a flat equi-join that never
+  * materializes blocks as lists, so Catalyst/AQE pick the join strategy and
+  * nothing holds an O(block²) row in memory.
+  *
+  * Scale design (10^12 rows):
+  *  - exact-duplicate pre-collapse: identical normalized text is collapsed
+  *    to one representative BEFORE signatures. Lossless for clustering
+  *    (identical text ⇒ identical shingles ⇒ identical candidate edges) and
+  *    it removes the worst LSH skew — a viral caption repeated 10^7 times
+  *    becomes ONE signature row plus 10^7 linear star edges instead of a
+  *    10^14-pair bucket. This replaces the reference's recall-losing
+  *    maxBlockSize block-drop (A10) with a lossless reduction.
+  *  - residual skew: oversized band buckets (distinct texts that still
+  *    collide) are salted — see [[SkewSalting.selfJoinPairs]].
+  *  - `bytes`/payload columns are never carried: inputs are projected to
+  *    (id, text) at the door (column pruning reaches the scan).
+  */
+object MinHashLsh {
+
+  /** (id, text) → (id, shingles) with <k-token docs keeping empty arrays. */
+  def shingleTable(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = ShingleK): DataFrame =
+    df.select(col(idCol).as("id"),
+      shingles(tokens(col(textCol)), k).as("shingles"))
+
+  /** (id, shingles) → (id, sig: array<long>) for docs with ≥1 shingle. */
+  def signatures(sh: DataFrame, n: Int = NumHashes): DataFrame =
+    sh.where(size(col("shingles")) > 0)
+      .select(col("id"), minhashSignature(hashArray(col("shingles")), n).as("sig"))
+
+  /** (id, sig) → (id, band_idx, band_hash) — one row per band. */
+  def bands(sig: DataFrame, b: Int = Bands, r: Int = RowsPerBand): DataFrame =
+    sig.select(col("id"), explode(bandHashes(col("sig"), b, r)).as("band"))
+      .select(col("id"), col("band.band_idx").as("band_idx"),
+        col("band.band_hash").as("band_hash"))
+
+  /** Band-bucket self-join → distinct candidate pairs (a < b), salted on
+    * skewed buckets. */
+  def candidatePairs(bandDf: DataFrame,
+                     saltCap: Int = SaltCap, saltFanout: Int = SaltFanout): DataFrame =
+    SkewSalting.selfJoinPairs(bandDf, Seq("band_idx", "band_hash"), "id",
+      saltCap, saltFanout)
+
+  /** Verify stage (SURVEY §2 B9): exact Jaccard on shingle sets, integer
+    * rational threshold — runs only on candidate pairs. */
+  def verifyPairs(pairs: DataFrame, sh: DataFrame,
+                  num: Long = TauNum, den: Long = TauDen): DataFrame = {
+    val sa = sh.select(col("id").as("a"), col("shingles").as("sh_a"))
+    val sb = sh.select(col("id").as("b"), col("shingles").as("sh_b"))
+    pairs.join(sa, "a").join(sb, "b")
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
+        size(col("sh_a")).cast("long").as("na"),
+        size(col("sh_b")).cast("long").as("nb"))
+      .where(jaccardGe(col("inter"), col("na"), col("nb"), num, den))
+  }
+
+  /** Exact-duplicate star edges + representative table.
+    * @return (reps: (id, text) one per distinct text with id = min member,
+    *          starEdges: (a=rep, b=member) for non-representative members) */
+  def exactCollapse(df: DataFrame, idCol: String, textCol: String): (DataFrame, DataFrame) = {
+    val keyed = df.select(col(idCol).as("id"), lower(col(textCol)).as("text"))
+    val reps = keyed.groupBy("text").agg(min(col("id")).as("id"))
+      .select(col("id"), col("text"))
+    val star = keyed.join(reps.withColumnRenamed("id", "rep"), "text")
+      .where(col("id") =!= col("rep"))
+      .select(col("rep").as("a"), col("id").as("b"))
+    (reps, star)
+  }
+
+  /** Full caption path: (id, text) → near-dup candidate edges among
+    * representatives ∪ exact-dup star edges, all verified. */
+  def dedupEdges(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val (reps, star) = exactCollapse(df, idCol, textCol)
+    val sh = shingleTable(reps, "id", "text").localCheckpoint(false)
+    val cand = candidatePairs(bands(signatures(sh)))
+    verifyPairs(cand, sh).select(col("a"), col("b"))
+      .unionByName(star)
+  }
+}

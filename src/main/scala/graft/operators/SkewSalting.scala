@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Explicit skew handling for bucket self-joins (north rule: "explicit
+  * salting/repartitioning of skewed LSH buckets").
+  *
+  * The reference's only skew control is dropping blocks larger than
+  * maxBlockSize (R:.../deduplication/Blocking.scala, SURVEY §2 A10) — which
+  * silently loses recall. Here oversized buckets keep ALL their pairs but
+  * the quadratic work is spread over `fanout` salted sub-buckets:
+  *
+  * Pair-preserving self-join salting: each row in a hot bucket gets a
+  * deterministic salt s ∈ [0, fanout); the left side keeps its salt, the
+  * right side is replicated to every salt. The join key becomes
+  * (bucket, salt_left) so one mega-bucket becomes `fanout` tasks, and every
+  * pair (i, j) still meets exactly once (at s = salt(i)).
+  *
+  * Cold buckets take the fast path (no replication). AQE skew-join handles
+  * residual imbalance (enabled in session conf).
+  */
+object SkewSalting {
+
+  /** Distinct unordered pairs (a < b) of `idCol` values sharing the bucket
+    * key columns, skew-salted.
+    *
+    * @param df       rows with bucket key columns + id column
+    * @param keyCols  bucket key column names
+    * @param idCol    orderable id column name
+    * @param cap      bucket size above which salting kicks in
+    * @param fanout   number of salt partitions for hot buckets
+    */
+  def selfJoinPairs(df: DataFrame, keyCols: Seq[String], idCol: String,
+                    cap: Int, fanout: Int): DataFrame = {
+    val keys = keyCols.map(col)
+    val in = df.select(keys :+ col(idCol).as("id"): _*)
+
+    // Hot-bucket detection: one aggregation over the bucket table; the hot
+    // set is tiny by construction (only buckets > cap) so it broadcasts.
+    val counts = in.groupBy(keys: _*).agg(count(lit(1)).as("n"))
+    val hot = counts.where(col("n") > cap).select(keys: _*)
+
+    val flagged = in.join(broadcast(hot.withColumn("hot", lit(true))), keyCols, "left")
+      .withColumn("hot", coalesce(col("hot"), lit(false)))
+
+    val cold = flagged.where(!col("hot")).drop("hot")
+    val coldPairs = pairJoin(cold, cold, keyCols)
+
+    val hotRows = flagged.where(col("hot")).drop("hot")
+    val salted = hotRows.withColumn("salt", pmod(xxhash64(col("id")), lit(fanout)))
+    val replicated = hotRows
+      .withColumn("salt", explode(sequence(lit(0L), lit(fanout - 1L))))
+    val hotPairs = pairJoin(salted, replicated, keyCols :+ "salt")
+
+    coldPairs.unionByName(hotPairs).dropDuplicates("a", "b")
+  }
+
+  private def pairJoin(l: DataFrame, r: DataFrame, joinCols: Seq[String]): DataFrame = {
+    val lhs = l.select(joinCols.map(col) :+ col("id").as("a"): _*)
+    val rhs = r.select(joinCols.map(col) :+ col("id").as("b"): _*)
+    lhs.join(rhs, joinCols).where(col("a") < col("b")).select(col("a"), col("b"))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.config.GoldenConfig._
+import graft.functions.TextHash
+import graft.functions.TextHash.{tokens, shingles, fingerprint}
+
+/** Training-data text-analysis operators (language-ID heuristic, quality
+  * scoring, token counting, fingerprinting) plus the L-gram exact-substring
+  * pass. All integer-output, fully SQL-expressible → every one carries a
+  * DuckDB oracle.
+  *
+  * Reference lineage: token/document frequency analytics mirror
+  * R:.../textmining/{TermFrequencyCounter,DocumentFrequencyCounter}.scala
+  * (SURVEY §2 A18); tokenization A27.
+  */
+object TextAnalysis {
+
+  /** Stopword list for quality/lang heuristics — pinned, tiny. */
+  val Stopwords: Seq[String] = Seq("a", "the", "of", "and", "is")
+
+  /** Character-bigram evidence per language — a deterministic, pinned
+    * n-gram language-ID heuristic (counts of marker bigrams; argmax with
+    * fixed priority tiebreak). */
+  val LangMarkers: Seq[(String, String)] = Seq(
+    "en" -> "th", "de" -> "ch", "es" -> "ll", "fr" -> "le", "zh" -> "sh")
+
+  private def countOcc(text: Column, pat: String): Column =
+    ((length(text) - length(replace(text, lit(pat), lit("")))) / pat.length).cast("long")
+
+  /** (id, n_tokens, n_distinct, n_chars, stopword_cnt, quality_ok). */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = tokens(lower(col(textCol)))
+    df.select(
+      col(idCol).as("id"),
+      size(t).cast("long").as("n_tokens"),
+      size(array_distinct(t)).cast("long").as("n_distinct"),
+      length(col(textCol)).cast("long").as("n_chars"),
+      size(array_intersect(t, array(Stopwords.map(lit): _*))).cast("long")
+        .as("distinct_stopwords"),
+      size(filter(t, tok => tok.isin(Stopwords: _*))).cast("long").as("stopword_cnt"))
+      .withColumn("quality_ok",
+        (col("n_tokens") >= 10 && col("n_tokens") <= 1000 &&
+          col("n_distinct") * 10 >= col("n_tokens") * 2 &&
+          col("stopword_cnt") * 2 <= col("n_tokens")).cast("boolean"))
+  }
+
+  /** (id, marker counts..., lang_guess) — argmax marker count, ties by
+    * LangMarkers order. */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("id"), lower(col(textCol)).as("t"))
+    val withCounts = LangMarkers.foldLeft(base) { case (d, (lang, pat)) =>
+      d.withColumn(s"c_$lang", countOcc(col("t"), pat))
+    }
+    val best = LangMarkers.map { case (lang, _) => col(s"c_$lang") }
+      .reduce((a, b) => greatest(a, b))
+    // argmax with ties broken by LangMarkers order (first marker wins)
+    val ordered = LangMarkers.reverse.foldLeft(lit("und")) { case (other, (lang, _)) =>
+      when(col(s"c_$lang") === best && best > 0, lit(lang)).otherwise(other)
+    }
+    withCounts.select(col("id") +: LangMarkers.map { case (l, _) => col(s"c_$l") } :+
+      ordered.as("lang_guess"): _*)
+  }
+
+  /** Corpus word count (A18): (token, cnt, doc_cnt). */
+  def wordCount(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("id")).as("doc_cnt"))
+
+  /** Rolling-hash fingerprint per document. */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), fingerprint(col(textCol)).as("fp"))
+
+  /** Exact-substring candidate pairs: docs sharing a run of >= l consecutive
+    * tokens (SURVEY §2 B6 detection semantics — any common substring of
+    * length >= l contains a common l-gram, so an l-gram equi-join finds
+    * exactly the same pairs as a suffix-array LCP scan with threshold l;
+    * the genuine suffix-array implementation lives in [[SuffixArrayPass]]
+    * and is unit-tested equal to this). Scales as a hash join on l-gram
+    * hashes; skew-salted like every bucket join. */
+  def substringPairs(df: DataFrame, idCol: String, textCol: String,
+                     l: Int = SubstringL,
+                     saltCap: Int = SaltCap, saltFanout: Int = SaltFanout): DataFrame = {
+    val grams = df.select(col(idCol).as("id"),
+        explode(shingles(tokens(col(textCol)), l)).as("gram"))
+      .select(col("id"), TextHash.strHash(col("gram")).as("gram_hash"))
+      .distinct()
+    SkewSalting.selfJoinPairs(grams, Seq("gram_hash"), "id", saltCap, saltFanout)
+  }
+}
