@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import graft.config.GoldenConfig.NumHashes
+
+/** Custom Catalyst expressions for the dedup hot path (SURVEY.md §4.2).
+  * Both emit a single static-kernel call from `doGenCode`, so they stay
+  * inside whole-stage codegen spans instead of falling back to row-at-a-time
+  * interpretation like nested higher-order functions do. */
+
+/** strHash(string) → long in [0, P). */
+case class StrHashExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.strHash(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.strHash($c);")
+  override protected def withNewChildInternal(newChild: Expression): StrHashExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_str_hash"
+}
+
+/** minhash_sig(array<string>) → array<long> of NumHashes affine-min hashes;
+  * null on empty input. */
+case class MinHashSigExpr(child: Expression, n: Int = NumHashes)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.minHashSig(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.HashKernels.minHashSig($c, $n);
+      ${ev.isNull} = (${ev.value} == null);""")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_minhash_sig"
+}
+
+object GraftExpressions {
+  /** Fast fused equivalent of
+    * TextHash.minhashSignature(TextHash.hashArray(shingles)). */
+  def minhashSig(shingles: Column, n: Int = NumHashes): Column =
+    Bridge.column(MinHashSigExpr(Bridge.expression(shingles), n))
+
+  /** Fast equivalent of TextHash.strHash. */
+  def strHash(s: Column): Column =
+    Bridge.column(StrHashExpr(Bridge.expression(s)))
+}

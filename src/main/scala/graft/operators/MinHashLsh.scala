@@ -36,10 +36,12 @@ object MinHashLsh {
     df.select(col(idCol).as("id"),
       shingles(tokens(col(textCol)), k).as("shingles"))
 
-  /** (id, shingles) → (id, sig: array<long>) for docs with ≥1 shingle. */
+  /** (id, shingles) → (id, sig: array<long>) for docs with ≥1 shingle.
+    * Uses the fused codegen kernel (MinHashSigExpr); bit-identical to the
+    * built-in formulation minhashSignature(hashArray(_)) — unit-tested. */
   def signatures(sh: DataFrame, n: Int = NumHashes): DataFrame =
     sh.where(size(col("shingles")) > 0)
-      .select(col("id"), minhashSignature(hashArray(col("shingles")), n).as("sig"))
+      .select(col("id"), graft.functions.GraftExpressions.minhashSig(col("shingles"), n).as("sig"))
 
   /** (id, sig) → (id, band_idx, band_hash) — one row per band. */
   def bands(sig: DataFrame, b: Int = Bands, r: Int = RowsPerBand): DataFrame =

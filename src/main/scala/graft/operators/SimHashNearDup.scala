@@ -27,7 +27,7 @@ object SimHashNearDup {
     val tok = df.select(col(idCol).as("id"),
       explode(tokens(col(textCol))).as("token"))
     val freq = tok.groupBy("id", "token").agg(count(lit(1)).as("cnt"))
-      .withColumn("th", strHash(col("token")))
+      .withColumn("th", graft.functions.GraftExpressions.strHash(col("token")))
     // explode bits: contribution of each token to each bit position
     val bitRows = freq.select(col("id"),
         explode(sequence(lit(0L), lit(bits - 1L))).as("bit"),

@@ -34,7 +34,10 @@ object SkewSalting {
   def selfJoinPairs(df: DataFrame, keyCols: Seq[String], idCol: String,
                     cap: Int, fanout: Int): DataFrame = {
     val keys = keyCols.map(col)
-    val in = df.select(keys :+ col(idCol).as("id"): _*)
+    // Materialized once (lazily) — reused by the count pass, the cold join
+    // (both sides) and the hot join; without this every consumer recomputes
+    // the whole upstream signature pipeline.
+    val in = df.select(keys :+ col(idCol).as("id"): _*).localCheckpoint(false)
 
     // Hot-bucket detection: one aggregation over the bucket table; the hot
     // set is tiny by construction (only buckets > cap) so it broadcasts.

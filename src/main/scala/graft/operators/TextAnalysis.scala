@@ -71,7 +71,8 @@ object TextAnalysis {
 
   /** Rolling-hash fingerprint per document. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"), fingerprint(col(textCol)).as("fp"))
+    df.select(col(idCol).as("id"),
+      graft.functions.GraftExpressions.strHash(lower(col(textCol))).as("fp"))
 
   /** Exact-substring candidate pairs: docs sharing a run of >= l consecutive
     * tokens (SURVEY §2 B6 detection semantics — any common substring of
@@ -85,7 +86,7 @@ object TextAnalysis {
                      saltCap: Int = SaltCap, saltFanout: Int = SaltFanout): DataFrame = {
     val grams = df.select(col(idCol).as("id"),
         explode(shingles(tokens(col(textCol)), l)).as("gram"))
-      .select(col("id"), TextHash.strHash(col("gram")).as("gram_hash"))
+      .select(col("id"), graft.functions.GraftExpressions.strHash(col("gram")).as("gram_hash"))
       .distinct()
     SkewSalting.selfJoinPairs(grams, Seq("gram_hash"), "id", saltCap, saltFanout)
   }
