@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.config.GoldenConfig
+import graft.config.GoldenConfig._
+
+/** The three implementations of the pinned hash scheme must agree exactly:
+  * host Scala (GoldenConfig), built-in column expressions (TextHash — the
+  * formulation mirrored by the DuckDB oracle), and the compiled kernels
+  * (HashKernels via the custom expressions). */
+class HashParitySpec extends AnyFlatSpec with Matchers with SparkTestBase {
+
+  "strHash" should "match the published fold on 'abc'" in {
+    // ((0*31+97)*31+98)*31+99 = 96354 — same value the DuckDB oracle computes
+    GoldenConfig.strHash("abc") shouldBe 96354L
+  }
+
+  it should "agree between host, builtin expression and kernel expression" in {
+    import spark.implicits._
+    val samples = Seq("", "a", "abc", "the quick brown fox", "sort merge join",
+      "x" * 100, "agg row scan slow fast", "123 456", "a b c d e f g h")
+    val df = samples.toDF("s")
+    val rows = df.select(
+      TextHash.strHash(col("s")).as("builtin"),
+      GraftExpressions.strHash(col("s")).as("kernel")).collect()
+    rows.zip(samples).foreach { case (r, s) =>
+      withClue(s"input='$s'") {
+        r.getLong(0) shouldBe GoldenConfig.strHash(s)
+        r.getLong(1) shouldBe GoldenConfig.strHash(s)
+      }
+    }
+  }
+
+  it should "stay in [0, P)" in {
+    for (s <- Seq("z" * 500, "~!@#$%", "éü")) {
+      val h = GoldenConfig.strHash(s)
+      h should be >= 0L
+      h should be < P
+    }
+  }
+
+  "minhash signature" should "agree between builtin expressions and kernel on real docs" in {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sh = docs.select(col("doc_id"),
+      TextHash.shingles(TextHash.tokens(col("text"))).as("shingles"))
+      .where(expr("size(shingles) > 0"))
+    val both = sh.select(col("doc_id"),
+      TextHash.minhashSignature(TextHash.hashArray(col("shingles"))).as("slow"),
+      GraftExpressions.minhashSig(col("shingles")).as("fast"))
+    val bad = both.where(col("slow") =!= col("fast")).count()
+    bad shouldBe 0L
+    both.count() should be > 0L
+  }
+
+  it should "be the elementwise min of affine hashes" in {
+    import spark.implicits._
+    val df = Seq(Seq("aa", "bb")).toDF("shingles")
+    val sig = df.select(GraftExpressions.minhashSig(col("shingles")))
+      .head().getSeq[Long](0)
+    sig should have length NumHashes
+    val xa = GoldenConfig.strHash("aa")
+    val xb = GoldenConfig.strHash("bb")
+    for (i <- Seq(0, 1, 63, 127)) {
+      val expect = math.min((hashA(i) * xa + hashB(i)) % P, (hashA(i) * xb + hashB(i)) % P)
+      sig(i) shouldBe expect
+    }
+  }
+
+  "band hashes" should "fold r consecutive signature values" in {
+    import spark.implicits._
+    val df = Seq(Seq("aa", "bb", "cc", "dd")).toDF("shingles")
+    val r = df.select(
+      GraftExpressions.minhashSig(col("shingles")).as("sig"))
+      .select(col("sig"), TextHash.bandHashes(col("sig")).as("bands"))
+      .head()
+    val sig = r.getSeq[Long](0)
+    val bands = r.getSeq[org.apache.spark.sql.Row](1)
+    bands should have length Bands
+    val b0 = bands.head
+    b0.getLong(0) shouldBe 0L
+    val expect = sig.take(RowsPerBand).foldLeft(0L)((h, m) => (h * StrBase + m) % P)
+    b0.getLong(1) shouldBe expect
+  }
+}

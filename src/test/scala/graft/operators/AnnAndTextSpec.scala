@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class AnnAndTextSpec extends AnyFlatSpec with Matchers with SparkTestBase {
+  import spark.implicits._
+
+  private def vecDf = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f)),
+    (1L, Seq(0.9f, 0.1f, 0.0f)),  // closest to 0
+    (2L, Seq(0.0f, 1.0f, 0.0f)),  // orthogonal to 0
+    (3L, Seq(0.7f, 0.7f, 0.0f)),  // diagonal
+    (4L, Seq(-1.0f, 0.0f, 0.0f))  // opposite
+  ).toDF("id", "vec")
+
+  "bruteForceTopK" should "rank by cosine with id tiebreak" in {
+    val out = AnnSearch.bruteForceTopK(vecDf, vecDf.where(col("id") === 0L), k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.map(_._3).toSeq shouldBe Seq(1L, 3L, 2L, 4L)
+  }
+
+  it should "exclude the query row itself" in {
+    val out = AnnSearch.bruteForceTopK(vecDf, vecDf.where(col("id") === 0L), k = 10)
+    out.where(col("neighbor_id") === 0L).count() shouldBe 0L
+  }
+
+  "lshBuckets" should "give identical buckets to identical vectors and be deterministic" in {
+    val dup = Seq((10L, Seq(0.5f, -0.25f, 0.8f)), (11L, Seq(0.5f, -0.25f, 0.8f))).toDF("id", "vec")
+    val b = AnnSearch.lshBuckets(dup).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    b(10L) shouldBe b(11L)
+    val again = AnnSearch.lshBuckets(dup).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    again shouldBe b
+  }
+
+  "lshTopK" should "return the true nearest when buckets collide (identical vectors)" in {
+    val out = AnnSearch.lshTopK(vecDf, vecDf.where(col("id") === 0L), k = 3)
+      .collect().map(r => r.getLong(2))
+    // LSH is approximate: but vector 1 (cos≈0.994) lands in 0's bucket w.h.p.
+    out should contain(1L)
+  }
+
+  "langId" should "be deterministic and emit a pinned-order guess" in {
+    val d = Seq((0L, "the theory of things"), (1L, "xyz qqq")).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(6)).toMap
+    out(0L) shouldBe "en" // 'th' marker dominates
+    out(1L) shouldBe "und" // no markers at all
+  }
+
+  "qualityScore" should "compute integer features and the quality flag" in {
+    val d = Seq((0L, "the cat sat on the mat " * 4), (1L, "a a a a a a a a a a a a")).toDF("doc_id", "text")
+    val rows = TextAnalysis.qualityScore(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    rows(1L).getAs[Boolean]("quality_ok") shouldBe false // all stopwords, no diversity
+    rows(0L).getAs[Long]("n_tokens") should be >= 24L
+  }
+
+  "wordCount" should "count corpus and document frequencies" in {
+    val d = Seq((0L, "a b a"), (1L, "a c")).toDF("doc_id", "text")
+    val m = TextAnalysis.wordCount(d, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    m("a") shouldBe ((3L, 2L))
+    m("b") shouldBe ((1L, 1L))
+    m("c") shouldBe ((1L, 1L))
+  }
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+import graft.SparkTestBase
+import scala.util.Random
+import scala.collection.mutable
+
+class ConnectedComponentsSpec extends AnyFlatSpec with Matchers with SparkTestBase {
+  import spark.implicits._
+
+  private def run(edges: Seq[(Long, Long)], nodes: Option[Seq[Long]] = None): Map[Long, Long] =
+    ConnectedComponents.run(spark, edges.toDF("a", "b"),
+      nodes.map(_.toDF("id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Driver-side BFS reference. */
+  private def bfs(edges: Seq[(Long, Long)], nodes: Seq[Long]): Map[Long, Long] = {
+    val adj = mutable.Map.empty[Long, mutable.Set[Long]]
+    def add(x: Long, y: Long): Unit = adj.getOrElseUpdate(x, mutable.Set.empty) += y
+    edges.foreach { case (a, b) => add(a, b); add(b, a) }
+    val seen = mutable.Map.empty[Long, Long]
+    for (n <- nodes.sorted if !seen.contains(n)) {
+      val comp = mutable.Set(n)
+      val queue = mutable.Queue(n)
+      while (queue.nonEmpty) {
+        val u = queue.dequeue()
+        for (v <- adj.getOrElse(u, Nil) if !comp.contains(v)) { comp += v; queue += v }
+      }
+      val root = comp.min
+      comp.foreach(m => seen(m) = root)
+    }
+    seen.toMap
+  }
+
+  "ConnectedComponents" should "collapse a path graph to min id" in {
+    run(Seq((1L, 2L), (2L, 3L), (3L, 4L))) shouldBe
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L)
+  }
+
+  it should "keep separate components separate and include singletons" in {
+    run(Seq((1L, 2L), (5L, 6L)), Some(Seq(1L, 2L, 5L, 6L, 9L))) shouldBe
+      Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L)
+  }
+
+  it should "be invariant under edge order and direction" in {
+    val e = Seq((4L, 2L), (2L, 7L), (9L, 8L))
+    run(e) shouldBe run(e.reverse.map { case (a, b) => (b, a) })
+  }
+
+  it should "match BFS on random graphs (incl. long chains)" in {
+    val rnd = new Random(7)
+    for (trial <- 1 to 5) {
+      val n = 60
+      val nodes = (0L until n).toSeq
+      val chain = (0L until 20L).sliding(2).map(s => (s(0), s(1))).toSeq
+      val rand = Seq.fill(40)((rnd.nextInt(n.toInt).toLong, rnd.nextInt(n.toInt).toLong))
+        .filter { case (a, b) => a != b }
+      val edges = chain ++ rand
+      withClue(s"trial $trial") {
+        run(edges, Some(nodes)) shouldBe bfs(edges, nodes)
+      }
+    }
+  }
+
+  it should "work with string ids (image_id case)" in {
+    val edges = Seq(("img_b", "img_a"), ("img_b", "img_c")).toDF("a", "b")
+    val out = ConnectedComponents.run(spark, edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    out shouldBe Map("img_a" -> "img_a", "img_b" -> "img_a", "img_c" -> "img_a")
+  }
+
+  it should "be idempotent on star output (resume safety)" in {
+    val first = run(Seq((1L, 2L), (2L, 3L)))
+    val starEdges = first.toSeq.filter { case (id, c) => id != c }
+      .map { case (id, c) => (c, id) }
+    run(starEdges) shouldBe first
+  }
+}

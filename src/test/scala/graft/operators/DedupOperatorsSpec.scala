@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.config.GoldenConfig._
+
+/** MinHash-LSH, salting, SimHash and substring operators — semantics tests
+  * on constructed inputs with known truth. */
+class DedupOperatorsSpec extends AnyFlatSpec with Matchers with SparkTestBase {
+  import spark.implicits._
+
+  // ~48 tokens: a single token edit flips 3 of 46 shingles → J ≈ 43/49 ≈ 0.88 ≥ τ=0.8
+  private val base = ("key agg row scan slow fast table value part hash merge batch " +
+    "line sort window group filter join order data stream column vector query " +
+    "small big the customer spark scan row agg fast merge sort window group " +
+    "key value part hash line data stream column").trim
+  private val nearDup = base.replace("slow", "quick") // 1-token edit → high shingle jaccard
+  private val unrelated = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+
+  private def docsDf = Seq(
+    (0L, base), (1L, nearDup), (2L, unrelated),
+    (3L, base), // exact dup of 0
+    (4L, "tiny doc") // < k tokens → no shingles
+  ).toDF("doc_id", "text")
+
+  "MinHashLsh.dedupEdges" should "find near-dups and exact dups, skip unrelated" in {
+    val edges = MinHashLsh.dedupEdges(docsDf, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    edges should contain((0L, 1L)) // near-dup via LSH + verify
+    edges should contain((0L, 3L)) // exact dup via star edge
+    edges.flatMap(e => Set(e._1, e._2)) should not contain 2L
+    edges.flatMap(e => Set(e._1, e._2)) should not contain 4L
+  }
+
+  it should "produce clusters with min-id semantics end to end" in {
+    val edges = MinHashLsh.dedupEdges(docsDf, "doc_id", "text")
+    val clusters = ConnectedComponents.run(spark, edges,
+      Some(docsDf.select(col("doc_id").as("id"))))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    clusters shouldBe Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 0L, 4L -> 4L)
+  }
+
+  "exactCollapse" should "pick min id as representative" in {
+    val (reps, star) = MinHashLsh.exactCollapse(docsDf, "doc_id", "text")
+    reps.count() shouldBe 4 // 5 docs, one exact dup collapsed
+    star.collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe Set((0L, 3L))
+  }
+
+  "SkewSalting.selfJoinPairs" should "produce identical pairs salted and unsalted" in {
+    // one hot bucket (40 members > cap=10) + several cold buckets
+    val rows = (0L until 40L).map(i => (999L, i)) ++
+      Seq((1L, 100L), (1L, 101L), (2L, 200L), (2L, 201L), (2L, 202L))
+    val df = rows.toDF("bucket", "id")
+    val salted = SkewSalting.selfJoinPairs(df, Seq("bucket"), "id", cap = 10, fanout = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unsalted = SkewSalting.selfJoinPairs(df, Seq("bucket"), "id", cap = 1000000, fanout = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    salted shouldBe unsalted
+    salted.size shouldBe (40 * 39 / 2 + 1 + 3)
+  }
+
+  "SimHashNearDup" should "bucket-join equals brute-force hamming filter" in {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sim = SimHashNearDup.simhashTable(docs, "doc_id", "text").localCheckpoint()
+    val viaBuckets = SimHashNearDup.nearDupPairs(sim.toDF())
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = sim.select(col("id").as("a"), col("simhash").as("sa"))
+    val b = sim.select(col("id").as("b"), col("simhash").as("sb"))
+    val brute = a.join(b, col("a") < col("b"))
+      .where(expr(s"bit_count(sa ^ sb) <= $HammingMax"))
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    viaBuckets shouldBe brute
+  }
+
+  "substringPairs" should "catch long common runs that shingle-jaccard misses" in {
+    val run8 = "one two three four five six seven eight"
+    val d = Seq(
+      (0L, s"totally different prefix here $run8"),
+      (1L, s"$run8 and then a completely other ending altogether follows"),
+      (2L, "no shared runs at all in this one friend")
+    ).toDF("doc_id", "text")
+    val pairs = TextAnalysis.substringPairs(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs shouldBe Set((0L, 1L))
+  }
+}
