@@ -1,0 +1,137 @@
+package graft.images
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.{ImageIO, ImageWriteParam, IIOImage}
+
+/** Image byte-level plumbing for the input_hint table
+  * (image_id, bytes: binary, w, h, fmt, caption, phash).
+  *
+  * Real codecs (JDK ImageIO PNG/JPEG — no external deps), used in two
+  * places only: the deterministic synthetic generator and the pair-local
+  * PSNR verify stage (SURVEY §2 B9). Nothing here ever runs at scan scale:
+  * `bytes` is projected away at the pipeline door and re-joined only for
+  * verified candidate pairs.
+  */
+object ImageCodec {
+
+  /** Deterministic procedural pixels for a synthetic image: seeded gradient
+    * + LCG noise (FIXTURES.md §2). Returns row-major ARGB ints (opaque). */
+  def proceduralPixels(seed: Long, id: Long, w: Int, h: Int): Array[Int] = {
+    val rnd = new java.util.Random(seed ^ (id * 0x9E3779B97F4A7C15L))
+    val base = rnd.nextInt(128)
+    val dx = 1 + rnd.nextInt(4)
+    val dy = 1 + rnd.nextInt(4)
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        // triangular reflection instead of % wraparound: smooth ramps keep
+        // the JPEG q95 re-encode inside the >= 40 dB PSNR band (sawtooth
+        // discontinuities ring badly and fall to ~21 dB)
+        val v = (base + x * dx + y * dy) % 510
+        val g = if (v < 255) v else 510 - v
+        val noise = rnd.nextInt(6)
+        val r = math.min(255, g + noise)
+        val gg = math.min(255, g + 2 * noise)
+        val b = math.min(255, 255 - g + noise)
+        px(y * w + x) = 0xFF000000 | (r << 16) | (gg << 8) | b
+        x += 1
+      }
+      y += 1
+    }
+    px
+  }
+
+  private def toImage(px: Array[Int], w: Int, h: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, w, h, px, 0, w)
+    img
+  }
+
+  def encodePng(px: Array[Int], w: Int, h: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(toImage(px, w, h), "png", out)
+    out.toByteArray
+  }
+
+  def encodeJpeg(px: Array[Int], w: Int, h: Int, quality: Float = 0.9f): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+    val ios = ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    writer.write(null, new IIOImage(toImage(px, w, h), null, null), p)
+    writer.dispose(); ios.close()
+    out.toByteArray
+  }
+
+  /** Decode to row-major RGB ints; returns (pixels, w, h). */
+  def decode(bytes: Array[Byte]): (Array[Int], Int, Int) = {
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val w = img.getWidth; val h = img.getHeight
+    (img.getRGB(0, 0, w, h, null, 0, w), w, h)
+  }
+
+  /** PSNR in dB over RGB channels; identical images → capped at 99.0. */
+  def psnr(a: Array[Byte], b: Array[Byte]): Double = {
+    if (java.util.Arrays.equals(a, b)) return 99.0
+    val (pa, wa, ha) = decode(a)
+    val (pb, wb, hb) = decode(b)
+    if (wa != wb || ha != hb) return 0.0
+    var se = 0.0
+    var i = 0
+    while (i < pa.length) {
+      val x = pa(i); val y = pb(i)
+      val dr = ((x >> 16) & 0xFF) - ((y >> 16) & 0xFF)
+      val dg = ((x >> 8) & 0xFF) - ((y >> 8) & 0xFF)
+      val db = (x & 0xFF) - (y & 0xFF)
+      se += dr * dr + dg * dg + db * db
+      i += 1
+    }
+    val mse = se / (pa.length * 3.0)
+    if (mse == 0.0) 99.0 else math.min(99.0, 10.0 * math.log10(255.0 * 255.0 / mse))
+  }
+
+  /** 64-bit average-hash (aHash): mean-threshold the 8x8 box-downscaled
+    * grayscale. Pure integer box filter — platform-independent (no AWT
+    * scaler). Documented constant scheme (FIXTURES.md §2); this is the
+    * "SimHash over decoded-pixel features" key of the image path. */
+  def phash(px: Array[Int], w: Int, h: Int): Long = {
+    val cells = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val cy = math.min(7, y * 8 / h)
+      var x = 0
+      while (x < w) {
+        val cx = math.min(7, x * 8 / w)
+        val p = px(y * w + x)
+        val gray = ((p >> 16) & 0xFF) * 299L + ((p >> 8) & 0xFF) * 587L + (p & 0xFF) * 114L
+        cells(cy * 8 + cx) += gray
+        counts(cy * 8 + cx) += 1000L
+        x += 1
+      }
+      y += 1
+    }
+    var total = 0.0
+    val means = new Array[Double](64)
+    var i = 0
+    while (i < 64) { means(i) = cells(i).toDouble / counts(i); total += means(i); i += 1 }
+    val avg = total / 64.0
+    var bits = 0L
+    i = 0
+    while (i < 64) { if (means(i) > avg) bits |= (1L << i); i += 1 }
+    bits
+  }
+
+  def phashOfBytes(bytes: Array[Byte]): Long = {
+    val (px, w, h) = decode(bytes)
+    phash(px, w, h)
+  }
+
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}

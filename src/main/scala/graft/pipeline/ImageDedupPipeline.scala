@@ -1,0 +1,130 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.config.GoldenConfig._
+import graft.operators.{MinHashLsh, SkewSalting, SimHashNearDup, TextAnalysis, ConnectedComponents}
+import graft.images.ImageCodec
+
+/** The flagship job (BASELINE.json north_star): near-duplicate detection +
+  * clustering over the input_hint table
+  * (image_id, bytes, w, h, fmt, caption, phash) — replacing the reference's
+  * Blocking → DuplicateCandidates → master-resolution chain
+  * (R:.../deduplication/{Blocking,DuplicateCandidates}.scala, SURVEY §3.1)
+  * with one Catalyst-planned Dataset dataflow:
+  *
+  *   scan ─┬ caption: shingle→MinHash→LSH bands ┐
+  *         ├ caption: L-gram substring pass      ├ salted pair joins → verify
+  *         ├ image:   phash 16-bit chunk buckets ┘ (Jaccard / PSNR) → CC → clusters
+  *         └ exact:   (caption, bytes-hash) collapse → star edges (lossless)
+  *
+  * Duplicate semantics (pinned): two rows are duplicates iff
+  *   caption-near (exact Jaccard ≥ τ on 3-shingles, OR a shared ≥L-token
+  *   run, OR equal captions)  AND  image-near (identical bytes OR decoded
+  *   PSNR ≥ 40 dB). The viral-caption fixture (identical caption "photo",
+  *   unrelated pixels) is therefore a NON-duplicate — caught by the image
+  *   verify, not by dropping oversized blocks like the reference's
+  *   maxBlockSize guard (recall-lossy A10; we salt instead, B7).
+  *
+  * Scale notes: `bytes` is projected out at the door and re-joined ONLY for
+  * verified-candidate PSNR checks (column pruning keeps the 100 TB payload
+  * out of every shuffle); exact dups collapse before any signature work;
+  * all bucket self-joins go through SkewSalting.
+  */
+object ImageDedupPipeline {
+
+  val psnrUdf = udf((a: Array[Byte], b: Array[Byte]) =>
+    if (a == null || b == null) 0.0 else ImageCodec.psnr(a, b))
+
+  /** @return (clusters: (image_id, cluster_id), verified edges) */
+  def run(spark: SparkSession, input: DataFrame, ckpt: StageCheckpoint): DataFrame = {
+
+    // ---- stage: project the scan (never carry bytes into the dedup graph)
+    val meta = ckpt.stage("s0_meta") {
+      input.select(col("image_id"), lower(col("caption")).as("caption"),
+        col("phash"), xxhash64(col("bytes")).as("bytes_hash"), col("fmt"))
+    }
+
+    // ---- stage: exact collapse on (caption, bytes_hash) — lossless dedup
+    val reps = ckpt.stage("s1_reps") {
+      meta.groupBy(col("caption"), col("bytes_hash"))
+        .agg(min(col("image_id")).as("image_id"), first(col("phash")).as("phash"))
+        .select("image_id", "caption", "phash", "bytes_hash")
+    }
+    val starEdges = ckpt.stage("s1_star_edges") {
+      meta.join(reps.select(col("caption"), col("bytes_hash"), col("image_id").as("rep")),
+          Seq("caption", "bytes_hash"))
+        .where(col("image_id") =!= col("rep"))
+        .select(col("rep").as("a"), col("image_id").as("b"))
+    }
+
+    // ---- stage: caption MinHash/LSH candidates among representatives
+    val shingleTbl = ckpt.stage("s2_shingles") {
+      MinHashLsh.shingleTable(reps, "image_id", "caption")
+    }
+    val lshPairs = ckpt.stage("s3_lsh_pairs") {
+      MinHashLsh.candidatePairs(
+        MinHashLsh.bands(MinHashLsh.signatures(shingleTbl)))
+        .withColumn("src", lit("minhash"))
+    }
+
+    // ---- stage: substring (L-gram) candidates
+    val substrPairs = ckpt.stage("s4_substr_pairs") {
+      TextAnalysis.substringPairs(reps, "image_id", "caption")
+        .withColumn("src", lit("substring"))
+    }
+
+    // ---- stage: image candidates — phash chunk buckets, Hamming ≤ 3
+    val imgPairs = ckpt.stage("s5_img_pairs") {
+      val sim = reps.select(col("image_id").as("id"), col("phash").as("simhash"))
+      SimHashNearDup.nearDupPairs(sim, bits = PhashBits)
+        .select(col("a"), col("b")).withColumn("src", lit("phash"))
+    }
+
+    // ---- stage: verify — caption criterion AND image criterion
+    val verified = ckpt.stage("s6_verified_edges") {
+      val cand = lshPairs.unionByName(substrPairs).unionByName(imgPairs)
+        .groupBy("a", "b").agg(collect_set(col("src")).as("srcs"))
+      val capt = reps.select(col("image_id"), col("caption"), col("bytes_hash"))
+      val sh = shingleTbl.select(col("id"), col("shingles"))
+      val bytesTbl = input.select(col("image_id"), col("bytes"))
+
+      val withMeta = cand
+        .join(capt.select(col("image_id").as("a"), col("caption").as("cap_a"),
+          col("bytes_hash").as("bh_a")), "a")
+        .join(capt.select(col("image_id").as("b"), col("caption").as("cap_b"),
+          col("bytes_hash").as("bh_b")), "b")
+        .join(sh.select(col("id").as("a"), col("shingles").as("sh_a")), Seq("a"), "left")
+        .join(sh.select(col("id").as("b"), col("shingles").as("sh_b")), Seq("b"), "left")
+
+      val interSz = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+      val captionOk = (col("cap_a") === col("cap_b")) ||
+        array_contains(col("srcs"), "substring") ||
+        (col("sh_a").isNotNull && col("sh_b").isNotNull &&
+          graft.functions.TextHash.jaccardGe(interSz,
+            size(col("sh_a")).cast("long"), size(col("sh_b")).cast("long")))
+
+      val captionPass = withMeta.where(captionOk)
+        .select(col("a"), col("b"), col("bh_a"), col("bh_b"))
+
+      // image criterion: identical bytes short-circuits; else decode + PSNR
+      // (bytes joined ONLY for caption-passing candidates)
+      captionPass
+        .join(bytesTbl.select(col("image_id").as("a"), col("bytes").as("bytes_a")), "a")
+        .join(bytesTbl.select(col("image_id").as("b"), col("bytes").as("bytes_b")), "b")
+        .withColumn("image_ok",
+          (col("bh_a") === col("bh_b")) ||
+            psnrUdf(col("bytes_a"), col("bytes_b")) >= PsnrMinDb)
+        .where(col("image_ok"))
+        .select(col("a"), col("b"))
+    }
+
+    // ---- stage: connected components over verified ∪ exact-star edges
+    ckpt.stage("s7_clusters") {
+      val edges = verified.select("a", "b").unionByName(starEdges.select("a", "b"))
+      ConnectedComponents.run(spark, edges,
+        Some(meta.select(col("image_id").as("id"))))
+        .select(col("id").as("image_id"), col("cluster_id"))
+    }
+  }
+}

@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+
+/** Stage-level checkpoint/resume + per-partition lineage/metrics
+  * (SURVEY §2 B12/B13; north rule: "resumable from checkpoint with
+  * per-partition lineage and metrics").
+  *
+  * Each stage writes a parquet snapshot under `<base>/<stage>/` and appends
+  * a line to `<base>/_manifest.jsonl` once the write fully succeeds (the
+  * parquet _SUCCESS marker + manifest line together make the stage commit
+  * atomic-enough for restart semantics: a half-written stage is simply
+  * recomputed). A restarted run replays the manifest and serves completed
+  * stages from their snapshots — the parquet-dir equivalent of Iceberg
+  * snapshot checkpointing (no Iceberg runtime jar ships in /opt/spark/jars;
+  * swap `parquet` for `iceberg` + `writeTo(...).createOrReplace()` on a real
+  * cluster and the manifest becomes the catalog).
+  *
+  * Lineage/metrics: for every stage a `_metrics/<stage>/` parquet table of
+  * (stage, partition_id, rows) per output partition plus (wall_ms, total
+  * rows) in the manifest line — block-size statistics in the spirit of the
+  * reference's BlockEvaluation (SURVEY §2 A17), generalized per stage.
+  */
+class StageCheckpoint(spark: SparkSession, baseDir: String) {
+
+  private val manifestPath = Paths.get(baseDir, "_manifest.jsonl")
+  Files.createDirectories(Paths.get(baseDir))
+
+  private var done: Map[String, Long] = loadManifest()
+
+  private def loadManifest(): Map[String, Long] =
+    if (!Files.exists(manifestPath)) Map.empty
+    else Files.readAllLines(manifestPath).asScala.flatMap { line =>
+      // minimal parse: {"stage":"name","rows":N,...}
+      val stage = "\"stage\":\"([^\"]+)\"".r.findFirstMatchIn(line).map(_.group(1))
+      val rows = "\"rows\":(\\d+)".r.findFirstMatchIn(line).map(_.group(1).toLong)
+      stage.zip(rows)
+    }.toMap
+
+  def isDone(stage: String): Boolean =
+    done.contains(stage) && Files.exists(Paths.get(baseDir, stage, "_SUCCESS"))
+
+  def path(stage: String): String = s"$baseDir/$stage"
+
+  /** Run (or resume) a stage: returns the stage's materialized DataFrame. */
+  def stage(name: String)(compute: => DataFrame): DataFrame = {
+    if (isDone(name)) {
+      spark.read.parquet(path(name))
+    } else {
+      val t0 = System.nanoTime()
+      val df = compute
+      df.write.mode("overwrite").parquet(path(name))
+      val out = spark.read.parquet(path(name))
+      // per-partition lineage row: (stage, partition_id, rows)
+      val metrics = out.groupBy(spark_partition_id().cast("long").as("partition_id"))
+        .agg(count(lit(1)).as("rows"))
+        .select(lit(name).as("stage"), col("partition_id"), col("rows"))
+      metrics.write.mode("overwrite").parquet(s"$baseDir/_metrics/$name")
+      val rows = out.count()
+      val wallMs = (System.nanoTime() - t0) / 1000000
+      appendManifest(s"""{"stage":"$name","rows":$rows,"wall_ms":$wallMs,"path":"${path(name)}"}""")
+      done += (name -> rows)
+      out
+    }
+  }
+
+  private def appendManifest(line: String): Unit =
+    Files.write(manifestPath, (line + "\n").getBytes,
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+
+  def manifest(): Seq[String] =
+    if (Files.exists(manifestPath)) Files.readAllLines(manifestPath).asScala.toSeq else Nil
+}
