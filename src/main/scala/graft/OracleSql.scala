@@ -234,6 +234,15 @@ FROM events GROUP BY event_type ORDER BY event_type""",
     "q25_blocking_stats" ->
       "SELECT substr(lower(p_name),1,3) AS bkey, count(*)::BIGINT AS block_size FROM part GROUP BY 1 ORDER BY 1",
 
+    // suffix-array pass: EXACT substring semantics — joins on the gram
+    // string itself (q12 joins on the 31-bit gram hash and can emit rare
+    // collision candidates; those are verified away downstream)
+    "q27_suffix_array_pairs" ->
+      s"""WITH $toks, ${shinglesCte(L, "g8")},
+ gs AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id, unnest(s) AS g FROM g8)),
+ p AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM gs x JOIN gs y ON x.g = y.g AND x.doc_id < y.doc_id)
+SELECT a, b FROM p ORDER BY a, b""",
+
     "q26_block_histogram" ->
       """SELECT block_size, count(*)::BIGINT AS n_blocks FROM (
  SELECT substr(lower(p_name),1,3) AS bkey, count(*)::BIGINT AS block_size FROM part GROUP BY 1) t

@@ -99,6 +99,11 @@ object Queries {
     TextAnalysis.substringPairs(docs(s, dir), "doc_id", "text")
       .orderBy("a", "b")
 
+  /** Same semantics via the generalized suffix-array scan (B6). */
+  def suffixArrayPairs(s: SparkSession, dir: String): DataFrame =
+    SuffixArrayPass.pairs(docs(s, dir), "doc_id", "text")
+      .orderBy("a", "b")
+
   // ---- text analysis -------------------------------------------------------
 
   def fingerprint(s: SparkSession, dir: String): DataFrame =

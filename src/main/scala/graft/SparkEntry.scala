@@ -36,7 +36,8 @@ object SparkEntry {
     "q23_setops"         -> (Queries.setOps(_, _)),
     "q24_json_events"    -> (Queries.jsonEvents(_, _)),
     "q25_blocking_stats" -> (Queries.blockingStats(_, _)),
-    "q26_block_histogram" -> (Queries.blockHistogram(_, _))
+    "q26_block_histogram" -> (Queries.blockHistogram(_, _)),
+    "q27_suffix_array_pairs" -> (Queries.suffixArrayPairs(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

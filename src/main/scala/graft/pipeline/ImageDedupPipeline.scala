@@ -98,8 +98,12 @@ object ImageDedupPipeline {
         .join(sh.select(col("id").as("b"), col("shingles").as("sh_b")), Seq("b"), "left")
 
       val interSz = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+      // substring criterion re-verified EXACTLY per pair (candidate sources
+      // may include l-gram hash collisions — provenance is never trusted)
+      val g8 = (c: org.apache.spark.sql.Column) =>
+        graft.functions.TextHash.shingles(graft.functions.TextHash.tokens(c), SubstringL)
       val captionOk = (col("cap_a") === col("cap_b")) ||
-        array_contains(col("srcs"), "substring") ||
+        arrays_overlap(g8(col("cap_a")), g8(col("cap_b"))) ||
         (col("sh_a").isNotNull && col("sh_b").isNotNull &&
           graft.functions.TextHash.jaccardGe(interSz,
             size(col("sh_a")).cast("long"), size(col("sh_b")).cast("long")))
