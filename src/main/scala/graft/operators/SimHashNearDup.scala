@@ -52,19 +52,49 @@ object SimHashNearDup {
       .drop("sh_")
   }
 
-  /** Distinct pairs (a, b, dist) with popcount(xor) <= maxDist, via
-    * pigeonhole bucket equi-join + exact Hamming filter. */
+  /** Distinct pairs (a, b, dist) with popcount(xor) <= maxDist.
+    *
+    * Value-collapse design: all candidate work runs on DISTINCT simhash
+    * values, not rows — rows sharing a hash are expanded back by join at
+    * the end. On skewed corpora (near-identical content is exactly what a
+    * dedup corpus is full of) this shrinks the quadratic candidate domain
+    * by the duplication factor; the unavoidable part (the output itself)
+    * is produced by joins, never filtered row pairs. Same exact result as
+    * the naive bucket join (unit-tested).
+    */
   def nearDupPairs(sim: DataFrame, simCol: String = "simhash",
                    bits: Int = SimHashBits, maxDist: Int = HammingMax,
                    saltCap: Int = SaltCap, saltFanout: Int = SaltFanout): DataFrame = {
-    val b = buckets(sim, simCol, bits, maxDist + 1)
-    val cand = SkewSalting.selfJoinPairs(b, Seq("chunk_idx", "chunk_val"), "id",
-      saltCap, saltFanout)
-    val ha = sim.select(col("id").as("a"), col(simCol).as("sim_a"))
-    val hb = sim.select(col("id").as("b"), col(simCol).as("sim_b"))
-    cand.join(ha, "a").join(hb, "b")
-      .withColumn("dist", expr("cast(bit_count(sim_a ^ sim_b) AS bigint)"))
-      .where(col("dist") <= maxDist)
-      .select(col("a"), col("b"), col("dist"))
+    val rows = sim.select(col("id"), col(simCol).as("sh")).localCheckpoint(false)
+
+    // pairs of rows with IDENTICAL simhash: dist = 0, equi-join on value
+    val withinPairs = SkewSalting.selfJoinPairs(
+        rows.select(col("sh").as("bucket"), col("id")), Seq("bucket"), "id",
+        saltCap, saltFanout)
+      .withColumn("dist", lit(0L))
+
+    // candidate pairs among distinct VALUES via pigeonhole chunk buckets
+    val values = rows.select(col("sh").as("v")).distinct().localCheckpoint(false)
+    val chunkBits = bits / (maxDist + 1)
+    val mask = (1L << chunkBits) - 1L
+    val vb = values
+      .select(col("v"), explode(sequence(lit(0L), lit(maxDist.toLong))).as("chunk_idx"))
+      .withColumn("chunk_val",
+        expr(s"shiftright(v, cast(chunk_idx * $chunkBits AS int)) & CAST($mask AS bigint)"))
+    val valuePairs = SkewSalting.selfJoinPairs(vb,
+        Seq("chunk_idx", "chunk_val"), "v", saltCap, saltFanout)
+      .withColumnRenamed("a", "va").withColumnRenamed("b", "vb")
+      .withColumn("dist", expr("cast(bit_count(va ^ vb) AS bigint)"))
+      .where(col("dist") > 0 && col("dist") <= maxDist)
+
+    // expand value pairs back to row pairs (va < vb ⇒ disjoint groups)
+    val crossPairs = valuePairs
+      .join(rows.select(col("sh").as("va"), col("id").as("ia")), "va")
+      .join(rows.select(col("sh").as("vb"), col("id").as("ib")), "vb")
+      .select(least(col("ia"), col("ib")).as("a"),
+        greatest(col("ia"), col("ib")).as("b"), col("dist"))
+
+    withinPairs.select(col("a"), col("b"), col("dist"))
+      .unionByName(crossPairs)
   }
 }
