@@ -42,7 +42,7 @@ object Main {
 
     // precision guard: viral "photo" rows must stay singletons
     val viralMerged = clusters.join(
-        input.where(col("caption") === "photo").select(col("image_id")), "image_id")
+        input.where(col("caption") === "photo of a photo").select(col("image_id")), "image_id")
       .groupBy("cluster_id").count().where(col("count") > 1).count()
 
     // per-row invariant (input_hint): emitted rows carry payloads through

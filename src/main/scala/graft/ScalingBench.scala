@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.images.SyntheticImages
+import graft.pipeline.ImageDedupPipeline
+
+/** Scaling-efficiency evidence for the north rule's two-cluster-size
+  * criterion, evidenced in this sandbox (per BASELINE.md protocol) by the
+  * same end-to-end dedup job at N vs 4N cores on identical input:
+  *
+  *   efficiency = (T_N × N) / (T_4N × 4N)   (target ≥ 0.8)
+  *
+  * The measured job is generate→dedup→cluster via
+  * [[ImageDedupPipeline.runDirect]] (input is a lazy deterministic plan, so
+  * generation work scales with the job — on a real cluster it would be an
+  * Iceberg scan). One JIT warmup run precedes measurement; each measured
+  * run gets a fresh SparkSession with shuffle partitions = cores.
+  *
+  * Usage: GRAFT_BENCH_N=300000 sbt "runMain graft.ScalingBench"
+  * Writes BENCH_SCALING.md and prints one JSON line.
+  */
+object ScalingBench {
+
+  case class RunResult(cores: Int, wallSec: Double, imagesPerSec: Double, recall: Double)
+
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.get("GRAFT_BENCH_N").map(_.toLong).getOrElse(300000L)
+    val cores = sys.env.getOrElse("GRAFT_BENCH_CORES", "8,32").split(",").map(_.trim.toInt)
+
+    runOnce(cores.max, math.min(n / 10, 20000L).max(2000L)) // JIT warmup
+
+    val results = cores.map(c => runOnce(c, n))
+    val lo = results.minBy(_.cores)
+    val hi = results.maxBy(_.cores)
+    val efficiency = (lo.wallSec * lo.cores) / (hi.wallSec * hi.cores)
+
+    val runsJson = results.map(r =>
+      s"""{"cores":${r.cores},"wall_sec":${r.wallSec},"images_per_sec":${r.imagesPerSec},"recall":${r.recall}}""")
+      .mkString("[", ",", "]")
+    println(s"""{"bench":"scaling","n":$n,"runs":$runsJson,"efficiency":$efficiency}""")
+
+    val md = new StringBuilder
+    md.append("# BENCH_SCALING — N vs 4N cores on the end-to-end image dedup job\n\n")
+    md.append(s"Input: deterministic synthetic input_hint table, n = $n images ")
+    md.append("(generate→exact-collapse→MinHash-LSH+substring+phash→verify(PSNR)→CC).\n")
+    md.append("Protocol: BASELINE.md 'Scaling protocol' — same input, shuffle partitions = cores.\n\n")
+    md.append("| run | cores | wall sec | images/sec | dup-pair recall |\n|---|---|---|---|---|\n")
+    results.foreach { r =>
+      md.append(f"| local[${r.cores}] | ${r.cores} | ${r.wallSec}%.1f | ${r.imagesPerSec}%.0f | ${r.recall}%.4f |\n")
+    }
+    md.append(f"\nScaling efficiency (T_N·N)/(T_4N·4N) = $efficiency%.3f (target ≥ 0.8)\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SCALING.md"), md.toString)
+  }
+
+  def runOnce(cores: Int, n: Long): RunResult = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-scaling-$cores-$n")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val input = SyntheticImages.generate(spark, n).toDF()
+      val t0 = System.nanoTime()
+      val clusters = ImageDedupPipeline.runDirect(spark, input).localCheckpoint()
+      clusters.count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val truth = SyntheticImages.truth(spark, n).toDF()
+      val (recall, _, _) = Main.pairRecall(clusters, truth)
+      RunResult(cores, wall, n / wall, recall)
+    } finally spark.stop()
+  }
+}

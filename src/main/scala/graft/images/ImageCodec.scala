@@ -15,27 +15,32 @@ import javax.imageio.{ImageIO, ImageWriteParam, IIOImage}
   */
 object ImageCodec {
 
-  /** Deterministic procedural pixels for a synthetic image: seeded gradient
-    * + LCG noise (FIXTURES.md §2). Returns row-major ARGB ints (opaque). */
+  /** Deterministic procedural pixels for a synthetic image (FIXTURES.md §2):
+    * an 8×8 grid of flat brightness blocks (independent per-image random
+    * levels) + mild per-pixel noise. Returns row-major ARGB ints (opaque).
+    *
+    * Why blocks: (a) 64 independent block levels make phash effectively
+    * uniform over 2^64 — unrelated images sit at Hamming ≈ 32 (the fixture
+    * demands >= 20), unlike smooth gradients which collapsed 20k images
+    * onto 452 phash values and exploded the image candidate join;
+    * (b) flat 8px blocks align with JPEG's DCT grid, so a q97 re-encode
+    * stays comfortably above the 40 dB PSNR band. */
   def proceduralPixels(seed: Long, id: Long, w: Int, h: Int): Array[Int] = {
     val rnd = new java.util.Random(seed ^ (id * 0x9E3779B97F4A7C15L))
-    val base = rnd.nextInt(128)
-    val dx = 1 + rnd.nextInt(4)
-    val dy = 1 + rnd.nextInt(4)
+    val levels = Array.fill(64)(16 + rnd.nextInt(224))
+    val tint = rnd.nextInt(48)
     val px = new Array[Int](w * h)
     var y = 0
     while (y < h) {
+      val cy = math.min(7, y * 8 / h)
       var x = 0
       while (x < w) {
-        // triangular reflection instead of % wraparound: smooth ramps keep
-        // the JPEG q95 re-encode inside the >= 40 dB PSNR band (sawtooth
-        // discontinuities ring badly and fall to ~21 dB)
-        val v = (base + x * dx + y * dy) % 510
-        val g = if (v < 255) v else 510 - v
+        val cx = math.min(7, x * 8 / w)
+        val g = levels(cy * 8 + cx)
         val noise = rnd.nextInt(6)
         val r = math.min(255, g + noise)
         val gg = math.min(255, g + 2 * noise)
-        val b = math.min(255, 255 - g + noise)
+        val b = math.min(255, math.max(0, g - tint + noise))
         px(y * w + x) = 0xFF000000 | (r << 16) | (gg << 8) | b
         x += 1
       }

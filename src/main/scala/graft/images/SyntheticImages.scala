@@ -76,8 +76,12 @@ object SyntheticImages {
       case 19 => // D0: exact duplicate row (same caption, same bytes)
         val cap = baseCaption(seed, baseId).mkString(" ")
         fromPixels(seed, baseId, id, cap, "png")
-      case 7 if block % 5 == 0 => // viral caption, fresh pixels — NOT a dup
-        fromPixels(seed, id, id, "photo", "png")
+      case 7 if block % 5 == 0 =>
+        // viral caption, fresh pixels — NOT a dup. 4 tokens ⇒ 2 shingles ⇒
+        // every viral row lands in the same LSH band buckets (identical
+        // signatures) — the mega-bucket that exercises salting; the image
+        // verify (Hamming prefilter) must keep precision.
+        fromPixels(seed, id, id, "photo of a photo", "png")
       case _ => // independent row
         fromPixels(seed, id, id, baseCaption(seed, id).mkString(" "), "png")
     }

@@ -13,18 +13,19 @@ import graft.images.ImageCodec
   * (R:.../deduplication/{Blocking,DuplicateCandidates}.scala, SURVEY §3.1)
   * with one Catalyst-planned Dataset dataflow:
   *
-  *   scan ─┬ caption: shingle→MinHash→LSH bands ┐
-  *         ├ caption: L-gram substring pass      ├ salted pair joins → verify
-  *         ├ image:   phash 16-bit chunk buckets ┘ (Jaccard / PSNR) → CC → clusters
-  *         └ exact:   (caption, bytes-hash) collapse → star edges (lossless)
+  *   scan ─┬ caption: shingle→MinHash→LSH bands          ┐
+  *         ├ caption: L-gram substring pass                ├ salted pair joins
+  *         ├ image: (caption, phash-chunk) composite block ┘  → verify → CC
+  *         └ exact: (caption, bytes-hash) collapse → star edges (lossless)
   *
   * Duplicate semantics (pinned): two rows are duplicates iff
-  *   caption-near (exact Jaccard ≥ τ on 3-shingles, OR a shared ≥L-token
-  *   run, OR equal captions)  AND  image-near (identical bytes OR decoded
-  *   PSNR ≥ 40 dB). The viral-caption fixture (identical caption "photo",
-  *   unrelated pixels) is therefore a NON-duplicate — caught by the image
-  *   verify, not by dropping oversized blocks like the reference's
-  *   maxBlockSize guard (recall-lossy A10; we salt instead, B7).
+  *   caption-near (equal captions, OR exact Jaccard ≥ τ on 3-shingles, OR a
+  *   shared ≥L-token run)  AND  image-near (identical bytes, OR phash
+  *   Hamming ≤ 3 AND decoded PSNR ≥ 40 dB). The viral-caption fixture
+  *   (identical caption, unrelated pixels) is therefore a NON-duplicate —
+  *   rejected by the integer Hamming prefilter before any decode, not by
+  *   dropping oversized blocks like the reference's maxBlockSize guard
+  *   (recall-lossy A10; we salt instead, B7).
   *
   * Scale notes: `bytes` is projected out at the door and re-joined ONLY for
   * verified-candidate PSNR checks (column pruning keeps the 100 TB payload
@@ -36,8 +37,31 @@ object ImageDedupPipeline {
   val psnrUdf = udf((a: Array[Byte], b: Array[Byte]) =>
     if (a == null || b == null) 0.0 else ImageCodec.psnr(a, b))
 
-  /** @return (clusters: (image_id, cluster_id), verified edges) */
-  def run(spark: SparkSession, input: DataFrame, ckpt: StageCheckpoint): DataFrame = {
+  /** How a finished stage is materialized. */
+  trait Stager {
+    def stage(name: String)(compute: => DataFrame): DataFrame
+  }
+
+  /** Checkpointed run (resumable; each stage a parquet snapshot). */
+  def run(spark: SparkSession, input: DataFrame, checkpoint: StageCheckpoint): DataFrame =
+    runImpl(spark, input, new Stager {
+      def stage(name: String)(compute: => DataFrame): DataFrame =
+        checkpoint.stage(name)(compute)
+    })
+
+  /** Bench/throughput run: no stage snapshots — multiply-consumed
+    * intermediates are lazily localCheckpoint'ed, everything else stays a
+    * lazy plan (recompute-over-store; on a real cluster the input comes
+    * from a table, not a generator). */
+  def runDirect(spark: SparkSession, input: DataFrame): DataFrame = {
+    val reuse = Set("s0_meta", "s1_reps", "s2_shingles", "s6_verified_edges")
+    runImpl(spark, input, new Stager {
+      def stage(name: String)(compute: => DataFrame): DataFrame =
+        if (reuse(name)) compute.localCheckpoint(false) else compute
+    })
+  }
+
+  private def runImpl(spark: SparkSession, input: DataFrame, ckpt: Stager): DataFrame = {
 
     // ---- stage: project the scan (never carry bytes into the dedup graph)
     val meta = ckpt.stage("s0_meta") {
@@ -74,52 +98,72 @@ object ImageDedupPipeline {
         .withColumn("src", lit("substring"))
     }
 
-    // ---- stage: image candidates — phash chunk buckets, Hamming ≤ 3
+    // ---- stage: image candidates — phash chunk buckets WITHIN caption
+    // groups (composite blocking key, cf. the reference's multi-scheme
+    // blocking). The dup semantics require caption-near AND image-near, and
+    // the binding caption constraint must drive candidate generation: a
+    // global phash join explodes whenever image space is less diverse than
+    // id space (measured: 20k procedural images → 452 phash values → 35M
+    // row pairs). Within-caption it covers exactly the class LSH/substring
+    // can't: equal captions too short to shingle + near-identical images
+    // (D3). The standalone image-only operator remains SimHashNearDup.
     val imgPairs = ckpt.stage("s5_img_pairs") {
-      val sim = reps.select(col("image_id").as("id"), col("phash").as("simhash"))
-      SimHashNearDup.nearDupPairs(sim, bits = PhashBits)
-        .select(col("a"), col("b")).withColumn("src", lit("phash"))
+      val chunkBits = PhashBits / HammingChunks
+      val mask = (1L << chunkBits) - 1L
+      val b = reps
+        .select(col("image_id").as("id"), col("caption"), col("phash"),
+          explode(sequence(lit(0L), lit(HammingChunks - 1L))).as("chunk_idx"))
+        .withColumn("chunk_val",
+          expr(s"shiftright(phash, cast(chunk_idx * $chunkBits AS int)) & CAST($mask AS bigint)"))
+      SkewSalting.selfJoinPairs(b, Seq("caption", "chunk_idx", "chunk_val"), "id",
+        SaltCap, SaltFanout)
+        .withColumn("src", lit("phash"))
     }
 
     // ---- stage: verify — caption criterion AND image criterion
     val verified = ckpt.stage("s6_verified_edges") {
       val cand = lshPairs.unionByName(substrPairs).unionByName(imgPairs)
-        .groupBy("a", "b").agg(collect_set(col("src")).as("srcs"))
-      val capt = reps.select(col("image_id"), col("caption"), col("bytes_hash"))
+        .select("a", "b").dropDuplicates("a", "b")
+      val capt = reps.select(col("image_id"), col("caption"),
+        col("bytes_hash"), col("phash"))
       val sh = shingleTbl.select(col("id"), col("shingles"))
       val bytesTbl = input.select(col("image_id"), col("bytes"))
 
       val withMeta = cand
         .join(capt.select(col("image_id").as("a"), col("caption").as("cap_a"),
-          col("bytes_hash").as("bh_a")), "a")
+          col("bytes_hash").as("bh_a"), col("phash").as("ph_a")), "a")
         .join(capt.select(col("image_id").as("b"), col("caption").as("cap_b"),
-          col("bytes_hash").as("bh_b")), "b")
+          col("bytes_hash").as("bh_b"), col("phash").as("ph_b")), "b")
         .join(sh.select(col("id").as("a"), col("shingles").as("sh_a")), Seq("a"), "left")
         .join(sh.select(col("id").as("b"), col("shingles").as("sh_b")), Seq("b"), "left")
 
       val interSz = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
-      // substring criterion re-verified EXACTLY per pair (candidate sources
-      // may include l-gram hash collisions — provenance is never trusted)
+      // caption criterion, cheap → expensive (|| short-circuits in codegen);
+      // the substring check is re-verified EXACTLY per pair — candidate
+      // provenance is never trusted (l-gram hashes can collide)
       val g8 = (c: org.apache.spark.sql.Column) =>
         graft.functions.TextHash.shingles(graft.functions.TextHash.tokens(c), SubstringL)
       val captionOk = (col("cap_a") === col("cap_b")) ||
-        arrays_overlap(g8(col("cap_a")), g8(col("cap_b"))) ||
         (col("sh_a").isNotNull && col("sh_b").isNotNull &&
           graft.functions.TextHash.jaccardGe(interSz,
-            size(col("sh_a")).cast("long"), size(col("sh_b")).cast("long")))
+            size(col("sh_a")).cast("long"), size(col("sh_b")).cast("long"))) ||
+        arrays_overlap(g8(col("cap_a")), g8(col("cap_b")))
 
+      // image criterion ladder: identical bytes → phash Hamming prefilter
+      // (integer, kills e.g. the viral caption-equal mega-bucket without a
+      // single decode) → PSNR on what survives. bytes join happens only for
+      // pairs past BOTH the caption criterion and the Hamming prefilter.
       val captionPass = withMeta.where(captionOk)
-        .select(col("a"), col("b"), col("bh_a"), col("bh_b"))
+        .withColumn("bytes_eq", col("bh_a") === col("bh_b"))
+        .where(col("bytes_eq") ||
+          expr(s"bit_count(ph_a ^ ph_b) <= $HammingMax"))
+        .select(col("a"), col("b"), col("bytes_eq"))
 
-      // image criterion: identical bytes short-circuits; else decode + PSNR
-      // (bytes joined ONLY for caption-passing candidates)
       captionPass
         .join(bytesTbl.select(col("image_id").as("a"), col("bytes").as("bytes_a")), "a")
         .join(bytesTbl.select(col("image_id").as("b"), col("bytes").as("bytes_b")), "b")
-        .withColumn("image_ok",
-          (col("bh_a") === col("bh_b")) ||
-            psnrUdf(col("bytes_a"), col("bytes_b")) >= PsnrMinDb)
-        .where(col("image_ok"))
+        .where(col("bytes_eq") ||
+          psnrUdf(col("bytes_a"), col("bytes_b")) >= PsnrMinDb)
         .select(col("a"), col("b"))
     }
 

@@ -40,7 +40,7 @@ class ImageDedupPipelineSpec extends AnyFlatSpec with Matchers with SparkTestBas
   }
 
   it should "not merge viral same-caption different-image rows (precision)" in {
-    val viral = input.where(col("caption") === "photo").select("image_id")
+    val viral = input.where(col("caption") === "photo of a photo").select("image_id")
     val merged = clusters.join(viral, "image_id")
       .groupBy("cluster_id").count().where(col("count") > 1).count()
     merged shouldBe 0L
