@@ -1,8 +1,9 @@
 package graft.images
 
 import java.awt.image.BufferedImage
-import java.io.ByteArrayOutputStream
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.{ImageIO, ImageWriteParam, IIOImage}
+import javax.imageio.stream.{MemoryCacheImageInputStream, MemoryCacheImageOutputStream}
 
 /** Image byte-level plumbing for the input_hint table
   * (image_id, bytes: binary, w, h, fmt, caption, phash).
@@ -14,6 +15,20 @@ import javax.imageio.{ImageIO, ImageWriteParam, IIOImage}
   * verified candidate pairs.
   */
 object ImageCodec {
+
+  // ImageIO's registry lookups and file-backed stream cache are synchronized
+  // and destroy scaling under local[32] (measured 3.2x cpu inflation per
+  // encode at 32 threads). Resolve the service providers ONCE and create
+  // per-call writer/reader instances from them; keep streams in memory.
+  ImageIO.setUseCache(false)
+  private val pngWriterSpi =
+    ImageIO.getImageWritersByFormatName("png").next().getOriginatingProvider
+  private val jpgWriterSpi =
+    ImageIO.getImageWritersByFormatName("jpg").next().getOriginatingProvider
+  private val pngReaderSpi =
+    ImageIO.getImageReadersByFormatName("png").next().getOriginatingProvider
+  private val jpgReaderSpi =
+    ImageIO.getImageReadersByFormatName("jpg").next().getOriginatingProvider
 
   /** Deterministic procedural pixels for a synthetic image (FIXTURES.md §2):
     * an 8×8 grid of flat brightness blocks (independent per-image random
@@ -57,28 +72,43 @@ object ImageCodec {
 
   def encodePng(px: Array[Int], w: Int, h: Int): Array[Byte] = {
     val out = new ByteArrayOutputStream()
-    ImageIO.write(toImage(px, w, h), "png", out)
+    val writer = pngWriterSpi.createWriterInstance()
+    val ios = new MemoryCacheImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.write(toImage(px, w, h))
+    } finally { writer.dispose(); ios.close() }
     out.toByteArray
   }
 
   def encodeJpeg(px: Array[Int], w: Int, h: Int, quality: Float = 0.9f): Array[Byte] = {
     val out = new ByteArrayOutputStream()
-    val writer = ImageIO.getImageWritersByFormatName("jpg").next()
-    val ios = ImageIO.createImageOutputStream(out)
-    writer.setOutput(ios)
-    val p = writer.getDefaultWriteParam
-    p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
-    p.setCompressionQuality(quality)
-    writer.write(null, new IIOImage(toImage(px, w, h), null, null), p)
-    writer.dispose(); ios.close()
+    val writer = jpgWriterSpi.createWriterInstance()
+    val ios = new MemoryCacheImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      writer.write(null, new IIOImage(toImage(px, w, h), null, null), p)
+    } finally { writer.dispose(); ios.close() }
     out.toByteArray
   }
 
-  /** Decode to row-major RGB ints; returns (pixels, w, h). */
+  /** Decode to row-major RGB ints; returns (pixels, w, h). Format sniffed
+    * from magic bytes (PNG 89 50 4E 47 / JPEG FF D8). */
   def decode(bytes: Array[Byte]): (Array[Int], Int, Int) = {
-    val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-    val w = img.getWidth; val h = img.getHeight
-    (img.getRGB(0, 0, w, h, null, 0, w), w, h)
+    val spi =
+      if (bytes.length > 1 && (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8) jpgReaderSpi
+      else pngReaderSpi
+    val reader = spi.createReaderInstance()
+    val iis = new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis)
+      val img = reader.read(0)
+      val w = img.getWidth; val h = img.getHeight
+      (img.getRGB(0, 0, w, h, null, 0, w), w, h)
+    } finally { reader.dispose(); iis.close() }
   }
 
   /** PSNR in dB over RGB channels; identical images → capped at 99.0. */
