@@ -124,8 +124,11 @@ WHERE bit_count(xor(sa.simhash, sb.simhash)) <= $HammingMax ORDER BY cd.a, cd.b"
     },
 
     "q12_substring_pairs" ->
-      s"""WITH $toks, ${shinglesCte(L, "g8")},
- gh AS (SELECT DISTINCT doc_id, ${strHash("g")} AS gram_hash FROM (SELECT doc_id, unnest(s) AS g FROM g8)),
+      s"""WITH $toks,
+ th AS (SELECT doc_id, [${strHash("tok")} FOR tok IN t] AS hs FROM toks WHERE len(t) >= $L),
+ gh AS (SELECT DISTINCT doc_id,
+   unnest([list_reduce(list_prepend(CAST(0 AS BIGINT), hs[i+1:i+$L]), (h,x) -> (h*$B+x) % $P) FOR i IN range(0, len(hs)-${L - 1})]) AS gram_hash
+   FROM th),
  p AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM gh x JOIN gh y ON x.gram_hash = y.gram_hash AND x.doc_id < y.doc_id)
 SELECT a, b FROM p ORDER BY a, b""",
 

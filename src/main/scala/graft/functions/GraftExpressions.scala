@@ -44,7 +44,29 @@ case class MinHashSigExpr(child: Expression, n: Int = NumHashes)
   override def prettyName: String = "graft_minhash_sig"
 }
 
+/** gram_hashes(array<string> tokens, l) → array<long> rolling window hashes;
+  * null when fewer than l tokens. */
+case class GramHashesExpr(child: Expression, l: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.gramHashes(input.asInstanceOf[ArrayData], l)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.HashKernels.gramHashes($c, $l);
+      ${ev.isNull} = (${ev.value} == null);""")
+  override protected def withNewChildInternal(newChild: Expression): GramHashesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_gram_hashes"
+}
+
 object GraftExpressions {
+  /** Rolling l-gram hashes over a token array (window fold of token
+    * hashes — the substring-pass candidate key). */
+  def gramHashes(tokens: Column, l: Int): Column =
+    Bridge.column(GramHashesExpr(Bridge.expression(tokens), l))
+
   /** Fast fused equivalent of
     * TextHash.minhashSignature(TextHash.hashArray(shingles)). */
   def minhashSig(shingles: Column, n: Int = NumHashes): Column =

@@ -30,6 +30,27 @@ object HashKernels {
     h
   }
 
+  /** Rolling l-gram hashes over an array of tokens: hash each token, then
+    * fold every l-length window with the same polynomial scheme. Output has
+    * numElements - l + 1 hashes (null if fewer than l tokens). */
+  def gramHashes(arr: ArrayData, l: Int): ArrayData = {
+    val m = arr.numElements()
+    if (m < l) return null
+    val th = new Array[Long](m)
+    var i = 0
+    while (i < m) { th(i) = strHash(arr.getUTF8String(i)); i += 1 }
+    val out = new Array[Long](m - l + 1)
+    i = 0
+    while (i <= m - l) {
+      var h = 0L
+      var j = 0
+      while (j < l) { h = (h * StrBase + th(i + j)) % P; j += 1 }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Batched MinHash over an array of shingle strings: hashes each shingle
     * once, updates all n mins in one pass. Returns null for empty input
     * (callers filter empties; mirrors array_min(empty) = null). */

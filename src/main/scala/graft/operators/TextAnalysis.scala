@@ -84,9 +84,11 @@ object TextAnalysis {
   def substringPairs(df: DataFrame, idCol: String, textCol: String,
                      l: Int = SubstringL,
                      saltCap: Int = SaltCap, saltFanout: Int = SaltFanout): DataFrame = {
+    // gram key = rolling window fold over token hashes (one kernel pass per
+    // row) — never materializes l-token strings per position
     val grams = df.select(col(idCol).as("id"),
-        explode(shingles(tokens(col(textCol)), l)).as("gram"))
-      .select(col("id"), graft.functions.GraftExpressions.strHash(col("gram")).as("gram_hash"))
+        explode(graft.functions.GraftExpressions.gramHashes(
+          tokens(col(textCol)), l)).as("gram_hash"))
       .distinct()
     SkewSalting.selfJoinPairs(grams, Seq("gram_hash"), "id", saltCap, saltFanout)
   }

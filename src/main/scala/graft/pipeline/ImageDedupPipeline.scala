@@ -54,7 +54,7 @@ object ImageDedupPipeline {
     * lazy plan (recompute-over-store; on a real cluster the input comes
     * from a table, not a generator). */
   def runDirect(spark: SparkSession, input: DataFrame): DataFrame = {
-    val reuse = Set("s0_meta", "s1_reps", "s2_shingles", "s6_verified_edges")
+    val reuse = Set("s0_meta", "s1_reps", "s2_cap_reps", "s2_shingles", "s6_verified_edges")
     runImpl(spark, input, new Stager {
       def stage(name: String)(compute: => DataFrame): DataFrame =
         if (reuse(name)) compute.localCheckpoint(false) else compute
@@ -82,21 +82,47 @@ object ImageDedupPipeline {
         .select(col("rep").as("a"), col("image_id").as("b"))
     }
 
-    // ---- stage: caption MinHash/LSH candidates among representatives
+    // ---- caption-level collapse (3rd collapse layer): identical captions
+    // share identical MinHash signatures and L-grams, so the text paths run
+    // on DISTINCT captions only — a 10k-member viral caption otherwise
+    // produces C(10k,2) identical-signature LSH pairs (measured 499,500 at
+    // n=100k), quadratic in corpus size. Caption-level pairs are expanded
+    // back to row pairs through the member tables; caption-EQUAL row pairs
+    // never come from here (they are s5's composite join).
+    val capReps = ckpt.stage("s2_cap_reps") {
+      reps.groupBy(col("caption")).agg(min(col("image_id")).as("cid"))
+    }
+
     val shingleTbl = ckpt.stage("s2_shingles") {
-      MinHashLsh.shingleTable(reps, "image_id", "caption")
+      MinHashLsh.shingleTable(capReps, "cid", "caption")
     }
     val lshPairs = ckpt.stage("s3_lsh_pairs") {
       MinHashLsh.candidatePairs(
         MinHashLsh.bands(MinHashLsh.signatures(shingleTbl)))
-        .withColumn("src", lit("minhash"))
     }
 
-    // ---- stage: substring (L-gram) candidates
+    // ---- stage: substring (L-gram) candidates, caption-level
     val substrPairs = ckpt.stage("s4_substr_pairs") {
-      TextAnalysis.substringPairs(reps, "image_id", "caption")
-        .withColumn("src", lit("substring"))
+      TextAnalysis.substringPairs(capReps, "cid", "caption")
     }
+
+    // expand caption-level pairs (cid_a, cid_b) → row pairs; member counts
+    // per caption are tiny once exact/caption-equal classes are collapsed
+    // (near-caption pairs between two viral-size captions would inflate
+    // this join — the verify ladder's Hamming filter is applied right after,
+    // so nothing survives materialization past this select)
+    val memberMap = reps.join(capReps, "caption")
+      .select(col("cid"), col("image_id"))
+    def expand(capPairs: DataFrame, src: String): DataFrame =
+      capPairs
+        .join(memberMap.select(col("cid").as("a"), col("image_id").as("ia")), "a")
+        .join(memberMap.select(col("cid").as("b"), col("image_id").as("ib")), "b")
+        .select(least(col("ia"), col("ib")).as("a"),
+          greatest(col("ia"), col("ib")).as("b"))
+        .withColumn("src", lit(src))
+
+    val textPairs = expand(lshPairs, "minhash")
+      .unionByName(expand(substrPairs, "substring"))
 
     // ---- stage: image candidates — phash chunk buckets WITHIN caption
     // groups (composite blocking key, cf. the reference's multi-scheme
@@ -122,20 +148,24 @@ object ImageDedupPipeline {
 
     // ---- stage: verify — caption criterion AND image criterion
     val verified = ckpt.stage("s6_verified_edges") {
-      val cand = lshPairs.unionByName(substrPairs).unionByName(imgPairs)
+      val cand = textPairs.unionByName(imgPairs)
         .select("a", "b").dropDuplicates("a", "b")
       val capt = reps.select(col("image_id"), col("caption"),
         col("bytes_hash"), col("phash"))
-      val sh = shingleTbl.select(col("id"), col("shingles"))
       val bytesTbl = input.select(col("image_id"), col("bytes"))
+
+      // shingles are keyed by caption-rep id — route row → cid → shingles
+      val shByRow = memberMap
+        .join(shingleTbl.select(col("id").as("cid"), col("shingles")), "cid")
+        .select(col("image_id"), col("shingles"))
 
       val withMeta = cand
         .join(capt.select(col("image_id").as("a"), col("caption").as("cap_a"),
           col("bytes_hash").as("bh_a"), col("phash").as("ph_a")), "a")
         .join(capt.select(col("image_id").as("b"), col("caption").as("cap_b"),
           col("bytes_hash").as("bh_b"), col("phash").as("ph_b")), "b")
-        .join(sh.select(col("id").as("a"), col("shingles").as("sh_a")), Seq("a"), "left")
-        .join(sh.select(col("id").as("b"), col("shingles").as("sh_b")), Seq("b"), "left")
+        .join(shByRow.select(col("image_id").as("a"), col("shingles").as("sh_a")), Seq("a"), "left")
+        .join(shByRow.select(col("image_id").as("b"), col("shingles").as("sh_b")), Seq("b"), "left")
 
       val interSz = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
       // caption criterion, cheap → expensive (|| short-circuits in codegen);
