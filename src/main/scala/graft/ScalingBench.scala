@@ -21,15 +21,32 @@ import graft.pipeline.ImageDedupPipeline
   */
 object ScalingBench {
 
-  case class RunResult(cores: Int, wallSec: Double, imagesPerSec: Double, recall: Double)
+  case class RunResult(cores: Int, wallSec: Double, imagesPerSec: Double, recall: Double,
+                       jobs: Int = 0, taskSec: Double = 0.0)
+
+  /** Counts jobs and summed task time — diagnoses driver-serial overhead:
+    * parallel-work floor ≈ taskSec/cores; the rest of wall is serial. */
+  private class Meter extends org.apache.spark.scheduler.SparkListener {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      jobs.incrementAndGet()
+    override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      if (t.taskInfo != null) taskMs.addAndGet(t.taskInfo.duration)
+  }
 
   def main(args: Array[String]): Unit = {
     val n = sys.env.get("GRAFT_BENCH_N").map(_.toLong).getOrElse(300000L)
-    val cores = sys.env.getOrElse("GRAFT_BENCH_CORES", "8,32").split(",").map(_.trim.toInt)
+    // default N=6 vs 4N=24 (not 8/32): the sandbox VM has exactly 32 vCPUs,
+    // and a fully-subscribed local[32] run measures scheduler noise, not
+    // scaling — headroom keeps the measurement stable.
+    val cores = sys.env.getOrElse("GRAFT_BENCH_CORES", "6,24").split(",").map(_.trim.toInt)
+    val reps = sys.env.get("GRAFT_BENCH_REPS").map(_.toInt).getOrElse(2)
 
     runOnce(cores.max, math.min(n / 10, 20000L).max(2000L)) // JIT warmup
 
-    val results = cores.map(c => runOnce(c, n))
+    // best-of-reps per size: min wall = least external noise
+    val results = cores.map(c => (1 to reps).map(_ => runOnce(c, n)).minBy(_.wallSec))
     val lo = results.minBy(_.cores)
     val hi = results.maxBy(_.cores)
     val efficiency = (lo.wallSec * lo.cores) / (hi.wallSec * hi.cores)
@@ -63,15 +80,19 @@ object ScalingBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val meter = new Meter
+    spark.sparkContext.addSparkListener(meter)
     try {
       val input = SyntheticImages.generate(spark, n).toDF()
       val t0 = System.nanoTime()
       val clusters = ImageDedupPipeline.runDirect(spark, input).localCheckpoint()
       clusters.count()
       val wall = (System.nanoTime() - t0) / 1e9
+      val jobs = meter.jobs.get(); val taskSec = meter.taskMs.get() / 1e3
+      System.err.println(f"[scaling] cores=$cores wall=$wall%.1f jobs=$jobs taskSec=$taskSec%.0f parallelFloor=${taskSec / cores}%.1f")
       val truth = SyntheticImages.truth(spark, n).toDF()
       val (recall, _, _) = Main.pairRecall(clusters, truth)
-      RunResult(cores, wall, n / wall, recall)
+      RunResult(cores, wall, n / wall, recall, jobs, taskSec)
     } finally spark.stop()
   }
 }

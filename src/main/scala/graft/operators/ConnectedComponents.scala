@@ -32,16 +32,18 @@ object ConnectedComponents {
     val idType = edges.schema("a").dataType
     require(edges.schema("b").dataType == idType, "edge endpoints must share a type")
 
+    // lazy localCheckpoint: the checksum aggregation doubles as the
+    // materializing action — one driver job per iteration, not two
     var e = edges.select(col("a"), col("b")).where(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
 
-    var converged = e.isEmpty
-    var iter = 0
     var sig = checksum(e)
+    var converged = sig._1 == 0L
+    var iter = 0
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
       val nextSig = checksum(next)
       converged = nextSig == sig
       sig = nextSig

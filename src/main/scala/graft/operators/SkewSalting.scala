@@ -39,13 +39,16 @@ object SkewSalting {
     // the whole upstream signature pipeline.
     val in = df.select(keys :+ col(idCol).as("id"): _*).localCheckpoint(false)
 
-    // Hot-bucket detection: one aggregation over the bucket table; the hot
-    // set is tiny by construction (only buckets > cap) so it broadcasts.
-    val counts = in.groupBy(keys: _*).agg(count(lit(1)).as("n"))
-    val hot = counts.where(col("n") > cap).select(keys: _*)
+    // Hot-bucket detection stays INSIDE the lazy plan (a join against the
+    // per-bucket counts, not a collect+broadcast) — no extra driver action;
+    // AQE broadcasts the tiny hot side on its own when it is small.
+    val hot = in.groupBy(keys: _*).agg(count(lit(1)).as("n"))
+      .where(col("n") > cap)
+      .select(keys :+ lit(true).as("hot"): _*)
 
-    val flagged = in.join(broadcast(hot.withColumn("hot", lit(true))), keyCols, "left")
+    val flagged = in.join(hot, keyCols, "left")
       .withColumn("hot", coalesce(col("hot"), lit(false)))
+      .localCheckpoint(false)
 
     val cold = flagged.where(!col("hot")).drop("hot")
     val coldPairs = pairJoin(cold, cold, keyCols)

@@ -113,6 +113,7 @@ object ImageDedupPipeline {
     // so nothing survives materialization past this select)
     val memberMap = reps.join(capReps, "caption")
       .select(col("cid"), col("image_id"))
+      .localCheckpoint(false) // consumed by both expansions and verify
     def expand(capPairs: DataFrame, src: String): DataFrame =
       capPairs
         .join(memberMap.select(col("cid").as("a"), col("image_id").as("ia")), "a")
@@ -158,6 +159,7 @@ object ImageDedupPipeline {
       val shByRow = memberMap
         .join(shingleTbl.select(col("id").as("cid"), col("shingles")), "cid")
         .select(col("image_id"), col("shingles"))
+        .localCheckpoint(false) // joined twice (a and b side)
 
       val withMeta = cand
         .join(capt.select(col("image_id").as("a"), col("caption").as("cap_a"),
