@@ -42,8 +42,11 @@ object Queries {
   private def shingleTbl(s: SparkSession, dir: String): DataFrame =
     MinHashLsh.shingleTable(docs(s, dir), "doc_id", "text")
 
+  private def sigTbl(s: SparkSession, dir: String): DataFrame =
+    MinHashLsh.signaturesFromText(docs(s, dir), "doc_id", "text")
+
   def minhashSig(s: SparkSession, dir: String): DataFrame =
-    MinHashLsh.signatures(shingleTbl(s, dir))
+    sigTbl(s, dir)
       .select(col("id").as("doc_id"),
         element_at(col("sig"), 1).as("mh_first"),
         element_at(col("sig"), 64).as("mh_mid"),
@@ -52,18 +55,18 @@ object Queries {
       .orderBy("doc_id")
 
   def lshBands(s: SparkSession, dir: String): DataFrame =
-    MinHashLsh.bands(MinHashLsh.signatures(shingleTbl(s, dir)))
+    MinHashLsh.bands(sigTbl(s, dir))
       .select(col("id").as("doc_id"), col("band_idx"), col("band_hash"))
       .orderBy("doc_id", "band_idx")
 
   def lshPairs(s: SparkSession, dir: String): DataFrame =
-    MinHashLsh.candidatePairs(MinHashLsh.bands(MinHashLsh.signatures(shingleTbl(s, dir))))
+    MinHashLsh.candidatePairs(MinHashLsh.bands(sigTbl(s, dir)))
       .orderBy("a", "b")
 
   def verifyPairs(s: SparkSession, dir: String): DataFrame = {
     val sh = shingleTbl(s, dir)
     MinHashLsh.verifyPairs(
-      MinHashLsh.candidatePairs(MinHashLsh.bands(MinHashLsh.signatures(sh))), sh)
+      MinHashLsh.candidatePairs(MinHashLsh.bands(sigTbl(s, dir))), sh)
       .orderBy("a", "b")
   }
 

@@ -61,11 +61,53 @@ case class GramHashesExpr(child: Expression, l: Int)
   override def prettyName: String = "graft_gram_hashes"
 }
 
+/** minhash_shingles(array<string> tokens, k, n) → fused shingle+MinHash
+  * signature; null when fewer than k tokens. */
+case class MinHashShinglesExpr(child: Expression, k: Int, n: Int = NumHashes)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.minHashShingles(input.asInstanceOf[ArrayData], k, n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.HashKernels.minHashShingles($c, $k, $n);
+      ${ev.isNull} = (${ev.value} == null);""")
+  override protected def withNewChildInternal(newChild: Expression): MinHashShinglesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_minhash_shingles"
+}
+
+/** shingle_hashes(array<string> tokens, k) → distinct sorted shingle hashes;
+  * null when fewer than k tokens. */
+case class ShingleHashesExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.shingleHashes(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.HashKernels.shingleHashes($c, $k);
+      ${ev.isNull} = (${ev.value} == null);""")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_shingle_hashes"
+}
+
 object GraftExpressions {
   /** Rolling l-gram hashes over a token array (window fold of token
     * hashes — the substring-pass candidate key). */
   def gramHashes(tokens: Column, l: Int): Column =
     Bridge.column(GramHashesExpr(Bridge.expression(tokens), l))
+
+  /** Fused shingle+MinHash signature straight from a token array. */
+  def minhashShingles(tokens: Column, k: Int, n: Int = NumHashes): Column =
+    Bridge.column(MinHashShinglesExpr(Bridge.expression(tokens), k, n))
+
+  /** Distinct sorted k-shingle hashes from a token array. */
+  def shingleHashes(tokens: Column, k: Int): Column =
+    Bridge.column(ShingleHashesExpr(Bridge.expression(tokens), k))
 
   /** Fast fused equivalent of
     * TextHash.minhashSignature(TextHash.hashArray(shingles)). */

@@ -16,8 +16,23 @@ object HashKernels {
   private val bs: Array[Long] = Array.tabulate(NumHashes)(hashB)
 
   /** Polynomial rolling hash over Unicode code points — matches SQL
-    * `ascii()`/DuckDB `unicode()` per-char semantics. */
+    * `ascii()`/DuckDB `unicode()` per-char semantics. ASCII fast path reads
+    * UTF-8 bytes directly (byte == code point) with zero allocation; any
+    * high bit falls back to the code-point walk. */
   def strHash(s: UTF8String): Long = {
+    val nb = s.numBytes()
+    var h = 0L
+    var i = 0
+    while (i < nb) {
+      val b = s.getByte(i)
+      if (b < 0) return strHashUnicode(s) // non-ASCII byte → exact path
+      h = (h * StrBase + b) % P
+      i += 1
+    }
+    h
+  }
+
+  private def strHashUnicode(s: UTF8String): Long = {
     val str = s.toString
     var h = 0L
     var i = 0
@@ -28,6 +43,89 @@ object HashKernels {
       i += Character.charCount(cp)
     }
     h
+  }
+
+  /** Continue a rolling hash h with string s (ASCII fast path + fallback). */
+  private def strHashCont(h0: Long, s: UTF8String): Long = {
+    val nb = s.numBytes()
+    var h = h0
+    var i = 0
+    var ascii = true
+    while (i < nb && ascii) {
+      val b = s.getByte(i)
+      if (b < 0) ascii = false
+      else { h = (h * StrBase + b) % P; i += 1 }
+    }
+    if (ascii) h
+    else {
+      val str = s.toString
+      var hh = h0
+      var j = 0
+      while (j < str.length) {
+        val cp = str.codePointAt(j)
+        hh = (hh * StrBase + cp) % P
+        j += Character.charCount(cp)
+      }
+      hh
+    }
+  }
+
+  private final val SpaceCp = 32L
+
+  /** Hash of the k-token shingle starting at position i of `toks`, exactly
+    * equal to strHash(tokens.slice(i, i+k).mkString(" ")) — rolled over the
+    * token bytes and separator, no shingle string ever built. */
+  private def shingleHashAt(toks: ArrayData, i: Int, k: Int): Long = {
+    var h = strHashCont(0L, toks.getUTF8String(i))
+    var j = 1
+    while (j < k) {
+      h = (h * StrBase + SpaceCp) % P
+      h = strHashCont(h, toks.getUTF8String(i + j))
+      j += 1
+    }
+    h
+  }
+
+  /** Fused shingle+MinHash: signature over the k-token shingles of `toks`
+    * without materializing shingle strings. min over a multiset equals min
+    * over its set, so no dedup pass is needed — bit-identical to
+    * minHashSig(distinct shingle strings). Null if fewer than k tokens. */
+  def minHashShingles(toks: ArrayData, k: Int, n: Int): ArrayData = {
+    val m = toks.numElements()
+    if (m < k) return null
+    val mins = new Array[Long](n)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i <= m - k) {
+      val x = shingleHashAt(toks, i, k)
+      var j = 0
+      while (j < n) {
+        val v = (as(j) * x + bs(j)) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Distinct, sorted k-shingle hashes of `toks` (for set-intersection
+    * verify) — values equal strHash of the shingle strings. Null if fewer
+    * than k tokens. */
+  def shingleHashes(toks: ArrayData, k: Int): ArrayData = {
+    val m = toks.numElements()
+    if (m < k) return null
+    val hs = new Array[Long](m - k + 1)
+    var i = 0
+    while (i <= m - k) { hs(i) = shingleHashAt(toks, i, k); i += 1 }
+    java.util.Arrays.sort(hs)
+    var w = 0
+    var r = 0
+    while (r < hs.length) {
+      if (w == 0 || hs(r) != hs(w - 1)) { hs(w) = hs(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, w))
   }
 
   /** Rolling l-gram hashes over an array of tokens: hash each token, then

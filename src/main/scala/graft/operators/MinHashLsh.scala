@@ -43,6 +43,16 @@ object MinHashLsh {
     sh.where(size(col("shingles")) > 0)
       .select(col("id"), graft.functions.GraftExpressions.minhashSig(col("shingles"), n).as("sig"))
 
+  /** (id, text) → (id, sig) in ONE kernel pass (shingling fused into the
+    * MinHash loop — no shingle strings materialized; min over the shingle
+    * multiset equals min over its set, so values are bit-identical to
+    * signatures(shingleTable(df))). Rows with < k tokens are dropped. */
+  def signaturesFromText(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = ShingleK, n: Int = NumHashes): DataFrame =
+    df.select(col(idCol).as("id"),
+        graft.functions.GraftExpressions.minhashShingles(tokens(col(textCol)), k, n).as("sig"))
+      .where(col("sig").isNotNull)
+
   /** (id, sig) → (id, band_idx, band_hash) — one row per band. */
   def bands(sig: DataFrame, b: Int = Bands, r: Int = RowsPerBand): DataFrame =
     sig.select(col("id"), explode(bandHashes(col("sig"), b, r)).as("band"))
@@ -88,7 +98,7 @@ object MinHashLsh {
   def dedupEdges(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val (reps, star) = exactCollapse(df, idCol, textCol)
     val sh = shingleTable(reps, "id", "text").localCheckpoint(false)
-    val cand = candidatePairs(bands(signatures(sh)))
+    val cand = candidatePairs(bands(signaturesFromText(reps, "id", "text")))
     verifyPairs(cand, sh).select(col("a"), col("b"))
       .unionByName(star)
   }

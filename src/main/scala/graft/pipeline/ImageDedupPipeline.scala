@@ -93,12 +93,17 @@ object ImageDedupPipeline {
       reps.groupBy(col("caption")).agg(min(col("image_id")).as("cid"))
     }
 
+    // shingle-HASH arrays (distinct, sorted longs) — the verify stage
+    // intersects hashes, never shingle strings
     val shingleTbl = ckpt.stage("s2_shingles") {
-      MinHashLsh.shingleTable(capReps, "cid", "caption")
+      capReps.select(col("cid").as("id"),
+        graft.functions.GraftExpressions.shingleHashes(
+          graft.functions.TextHash.tokens(col("caption")), ShingleK).as("shingles"))
+        .where(col("shingles").isNotNull)
     }
     val lshPairs = ckpt.stage("s3_lsh_pairs") {
       MinHashLsh.candidatePairs(
-        MinHashLsh.bands(MinHashLsh.signatures(shingleTbl)))
+        MinHashLsh.bands(MinHashLsh.signaturesFromText(capReps, "cid", "caption")))
     }
 
     // ---- stage: substring (L-gram) candidates, caption-level
@@ -171,15 +176,16 @@ object ImageDedupPipeline {
 
       val interSz = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
       // caption criterion, cheap → expensive (|| short-circuits in codegen);
-      // the substring check is re-verified EXACTLY per pair — candidate
-      // provenance is never trusted (l-gram hashes can collide)
+      // the substring check is re-verified per pair on l-gram hash arrays —
+      // candidate provenance is never trusted
       val g8 = (c: org.apache.spark.sql.Column) =>
-        graft.functions.TextHash.shingles(graft.functions.TextHash.tokens(c), SubstringL)
+        graft.functions.GraftExpressions.gramHashes(
+          graft.functions.TextHash.tokens(c), SubstringL)
       val captionOk = (col("cap_a") === col("cap_b")) ||
         (col("sh_a").isNotNull && col("sh_b").isNotNull &&
           graft.functions.TextHash.jaccardGe(interSz,
             size(col("sh_a")).cast("long"), size(col("sh_b")).cast("long"))) ||
-        arrays_overlap(g8(col("cap_a")), g8(col("cap_b")))
+        coalesce(arrays_overlap(g8(col("cap_a")), g8(col("cap_b"))), lit(false))
 
       // image criterion ladder: identical bytes → phash Hamming prefilter
       // (integer, kills e.g. the viral caption-equal mega-bucket without a

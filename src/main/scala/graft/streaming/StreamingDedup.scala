@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.GraftExpressions
+
+/** Structured Streaming dedup operators.
+  *
+  * The reference is strictly batch (SURVEY §2 A41 — RDD jobs chained via
+  * Cassandra tables), so nothing here has a reference counterpart; it
+  * exists so the engine covers the streaming-ingest shape a training-data
+  * pipeline needs: dropping exact/near duplicates as documents arrive.
+  *
+  * Both operators are plan transformations (readStream → transform →
+  * writeStream is the caller's choice of source/sink):
+  *  - exact dedup: watermarked `dropDuplicates` on the content fingerprint —
+  *    Spark keeps one state row per fingerprint inside the watermark.
+  *  - near-dup candidate stream: stateless signature/band derivation; the
+  *    banded stream joined against a static signature table flags arrivals
+  *    that collide with the existing corpus (stream-static join — no state
+  *    explosion; the corpus side is the batch engine's band table).
+  */
+object StreamingDedup {
+
+  /** Exact-duplicate removal on a stream of (idCol, textCol, tsCol):
+    * keeps the first arrival per normalized-text fingerprint within the
+    * watermark window. */
+  def dropExactDuplicates(stream: DataFrame, idCol: String, textCol: String,
+                          tsCol: String, watermark: String = "10 minutes"): DataFrame =
+    stream
+      .withColumn("fp", GraftExpressions.strHash(lower(col(textCol))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates("fp")
+      .drop("fp")
+
+  /** Streams LSH band collisions of arriving docs against a static corpus
+    * band table (columns: id, band_idx, band_hash) — the streaming front
+    * door to the batch near-dup pipeline. Stateless (stream-static inner
+    * join): emits one row per (arriving doc, colliding corpus doc, band);
+    * downstream dedup/verify is the batch engine's job. */
+  def nearDupAgainstCorpus(stream: DataFrame, corpusBands: DataFrame,
+                           idCol: String, textCol: String): DataFrame = {
+    val bands = graft.operators.MinHashLsh.bands(
+      graft.operators.MinHashLsh.signatures(
+        graft.operators.MinHashLsh.shingleTable(stream, idCol, textCol)))
+    bands.join(
+        corpusBands.select(col("band_idx"), col("band_hash"),
+          col("id").as("corpus_id")),
+        Seq("band_idx", "band_hash"))
+      .where(col("id") =!= col("corpus_id"))
+      .select(col("id"), col("corpus_id"), col("band_idx"))
+  }
+}

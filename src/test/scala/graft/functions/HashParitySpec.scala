@@ -69,6 +69,33 @@ class HashParitySpec extends AnyFlatSpec with Matchers with SparkTestBase {
     }
   }
 
+  "fused shingle+minhash kernel" should "equal the string-shingle path on real docs" in {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val viaStrings = docs.select(col("doc_id"),
+      TextHash.shingles(TextHash.tokens(col("text"))).as("sh"))
+      .where(expr("size(sh) > 0"))
+      .select(col("doc_id"), GraftExpressions.minhashSig(col("sh")).as("sig"))
+    val fused = docs.select(col("doc_id"),
+      GraftExpressions.minhashShingles(TextHash.tokens(col("text")),
+        graft.config.GoldenConfig.ShingleK).as("sig"))
+      .where(col("sig").isNotNull)
+    viaStrings.count() shouldBe fused.count()
+    viaStrings.join(fused.withColumnRenamed("sig", "sig2"), "doc_id")
+      .where(col("sig") =!= col("sig2")).count() shouldBe 0L
+  }
+
+  "shingle-hash kernel" should "equal sorted distinct strHash of shingle strings" in {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val both = docs.select(col("doc_id"),
+        TextHash.shingles(TextHash.tokens(col("text"))).as("sh"),
+        GraftExpressions.shingleHashes(TextHash.tokens(col("text")),
+          graft.config.GoldenConfig.ShingleK).as("fast"))
+      .where(expr("size(sh) > 0"))
+      .withColumn("slow", array_sort(array_distinct(TextHash.hashArray(col("sh")))))
+    both.where(col("slow") =!= col("fast")).count() shouldBe 0L
+    both.count() should be > 0L
+  }
+
   "band hashes" should "fold r consecutive signature values" in {
     import spark.implicits._
     val df = Seq(Seq("aa", "bb", "cc", "dd")).toDF("shingles")

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.SparkTestBase
+import java.sql.Timestamp
+
+class StreamingDedupSpec extends AnyFlatSpec with Matchers with SparkTestBase {
+  import spark.implicits._
+
+  private val longText =
+    "sunset harbor mountain forest river skyline meadow lantern bridge garden temple market"
+
+  "dropExactDuplicates" should "keep first arrival per normalized text" in {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val df = mem.toDF().toDF("doc_id", "text", "ts")
+    val out = StreamingDedup.dropExactDuplicates(df, "doc_id", "text", "ts")
+    val q = out.writeStream.format("memory").queryName("sdd_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        (1L, "A photo", Timestamp.valueOf("2020-01-01 00:00:00")),
+        (2L, "a PHOTO", Timestamp.valueOf("2020-01-01 00:00:01")), // exact dup after lower()
+        (3L, "different", Timestamp.valueOf("2020-01-01 00:00:02")))
+      q.processAllAvailable()
+      val ids = spark.table("sdd_out").select("doc_id").collect().map(_.getLong(0)).toSet
+      ids should have size 2
+      ids should contain(3L)
+      (ids should contain).oneOf(1L, 2L)
+    } finally q.stop()
+  }
+
+  "nearDupAgainstCorpus" should "flag band collisions against a static corpus" in {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((100L, longText)).toDF("doc_id", "text")
+    val corpusBands = graft.operators.MinHashLsh.bands(
+      graft.operators.MinHashLsh.signatures(
+        graft.operators.MinHashLsh.shingleTable(corpus, "doc_id", "text")))
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingDedup.nearDupAgainstCorpus(
+      mem.toDF().toDF("doc_id", "text"), corpusBands, "doc_id", "text")
+    val q = out.writeStream.format("memory").queryName("sndc_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L, longText), (2L, "totally unrelated words here that do not match at all"))
+      q.processAllAvailable()
+      val rows = spark.table("sndc_out").select("id", "corpus_id").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      rows shouldBe Set((1L, 100L))
+    } finally q.stop()
+  }
+}
