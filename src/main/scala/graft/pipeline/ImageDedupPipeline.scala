@@ -196,10 +196,21 @@ object ImageDedupPipeline {
         .where(col("bytes_eq") ||
           expr(s"bit_count(ph_a ^ ph_b) <= $HammingMax"))
         .select(col("a"), col("b"), col("bytes_eq"))
+        .localCheckpoint(false)
+
+      // prune the heavy payload BEFORE it ever enters a shuffle: only rows
+      // that appear in a surviving candidate pair carry their bytes into
+      // the PSNR join (otherwise the full binary column is shuffled twice
+      // to serve a few thousand pairs — pure memory-bandwidth burn)
+      val candIds = captionPass.select(col("a").as("image_id"))
+        .unionByName(captionPass.select(col("b").as("image_id")))
+        .distinct()
+      val neededBytes = bytesTbl.join(candIds, Seq("image_id"), "left_semi")
+        .localCheckpoint(false)
 
       captionPass
-        .join(bytesTbl.select(col("image_id").as("a"), col("bytes").as("bytes_a")), "a")
-        .join(bytesTbl.select(col("image_id").as("b"), col("bytes").as("bytes_b")), "b")
+        .join(neededBytes.select(col("image_id").as("a"), col("bytes").as("bytes_a")), "a")
+        .join(neededBytes.select(col("image_id").as("b"), col("bytes").as("bytes_b")), "b")
         .where(col("bytes_eq") ||
           psnrUdf(col("bytes_a"), col("bytes_b")) >= PsnrMinDb)
         .select(col("a"), col("b"))
