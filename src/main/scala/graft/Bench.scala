@@ -10,6 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // One untimed warmup pass: absorbs JVM/JIT + codegen + first parquet
+    // footer reads, so per-query numbers below are regression-comparable
+    // (without it the first query in map order eats several seconds of
+    // one-time cost).
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

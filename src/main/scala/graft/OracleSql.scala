@@ -24,9 +24,15 @@ object OracleSql {
   private val K = ShingleK
   private val L = SubstringL
 
-  /** Polynomial string hash of SQL expression `g` into [0, P). */
+  /** Polynomial string hash of SQL expression `g` into [0, P).
+    * The `IF c <> ''` guard matters: DuckDB string_split_regex('','') yields
+    * [''] and unicode('') = -1, so an EMPTY string (empty doc, or an empty
+    * token from consecutive spaces) would hash to -1 and propagate a
+    * negative value through the mod — while Spark's kernel and builtin both
+    * return 0. With the guard all three agree (empty string → fold over no
+    * chars → 0). */
   private def strHash(g: String): String =
-    s"list_reduce(list_prepend(CAST(0 AS BIGINT), [unicode(c)::BIGINT FOR c IN string_split_regex($g,'')]), (h,c) -> (h*$B+c) % $P)"
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), [unicode(c)::BIGINT FOR c IN string_split_regex($g,'') IF c <> '']), (h,c) -> (h*$B+c) % $P)"
 
   private val toks =
     "toks AS (SELECT doc_id, string_split(lower(text),' ') AS t FROM documents)"

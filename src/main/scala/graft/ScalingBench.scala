@@ -62,7 +62,10 @@ object ScalingBench {
       finally s.stop()
     }
 
-    runOnce(cores.max, math.min(n / 10, 20000L).max(2000L), inputPath) // JIT warmup
+    // JIT warmup is a FULL run (runOnce reads the whole pre-materialized
+    // input regardless of n, so passing a reduced n would only skew the
+    // discarded recall/throughput fields — not the work done).
+    runOnce(cores.max, n, inputPath)
 
     // best-of-reps per size: min wall = least external noise
     val results = cores.map(c =>

@@ -75,12 +75,18 @@ object GoldenConfig {
   def hashA(i: Int): Long = (LcgMul * i + LcgAddA) % P
   def hashB(i: Int): Long = (LcgMul * (i + BSeedOffset) + LcgAddB) % P
 
-  /** Host-side polynomial string hash — must equal the Spark/DuckDB column
-    * expression exactly (unit-tested). Codepoint-based; inputs are ASCII. */
+  /** Host-side polynomial string hash — must equal the kernel
+    * (HashKernels.strHash) and DuckDB (`unicode()` per char) exactly
+    * (unit-tested): walks Unicode CODE POINTS, so supplementary-plane
+    * characters hash as one value, not two surrogates. */
   def strHash(s: String): Long = {
     var h = 0L
     var i = 0
-    while (i < s.length) { h = (h * StrBase + s.charAt(i).toLong) % P; i += 1 }
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * StrBase + cp) % P
+      i += Character.charCount(cp)
+    }
     h
   }
 }

@@ -32,7 +32,15 @@ object TextHash {
       .otherwise(array().cast("array<string>"))
 
   /** Polynomial rolling hash of a string into [0, P):
-    * h = fold(codepoints, 0, (h,c) -> (h*31 + c) mod P). */
+    * h = fold(codepoints, 0, (h,c) -> (h*31 + c) mod P).
+    *
+    * BMP-ONLY reference formulation: `split(s, "")` yields UTF-16 code
+    * units, so a supplementary-plane character (emoji) hashes as two
+    * surrogates here, while the kernel ([[GraftExpressions.strHash]]), the
+    * host golden (GoldenConfig.strHash) and the DuckDB oracle all walk full
+    * code points. The three canonical implementations agree on ALL input;
+    * this builtin agrees with them on BMP input only (unit-tested both
+    * ways) — use the kernel on any path that may see astral characters. */
   def strHash(s: Column): Column =
     aggregate(
       transform(split(s, ""), c => ascii(c).cast("long")),

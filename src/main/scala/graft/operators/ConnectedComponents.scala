@@ -50,6 +50,12 @@ object ConnectedComponents {
       e = next
       iter += 1
     }
+    // Fail loudly rather than emit wrong clusters: the star extraction below
+    // is only correct at the fixpoint. 50 rounds covers graphs far beyond
+    // any realistic dedup input (convergence is O(log^2 n) rounds).
+    require(converged,
+      s"connected components did not converge within $maxIter iterations; " +
+        "raise maxIter — emitting non-fixpoint stars would be incorrect")
 
     // At fixpoint edges form stars (member, root=min of component).
     val stars = e.select(col("b").as("id"), col("a").as("cluster_id"))

@@ -24,13 +24,21 @@ object StreamingDedup {
 
   /** Exact-duplicate removal on a stream of (idCol, textCol, tsCol):
     * keeps the first arrival per normalized-text fingerprint within the
-    * watermark window. */
+    * watermark window.
+    *
+    * State is BOUNDED: `dropDuplicatesWithinWatermark` expires a
+    * fingerprint's state row once the watermark passes its event time, so a
+    * long-running stream holds only the fingerprints of the active window
+    * (plain `dropDuplicates("fp")` would keep one state row per fingerprint
+    * forever — the event-time column is not part of the dedup key, so the
+    * watermark never cleans it). A re-arrival AFTER expiry is treated as a
+    * new document — the correct semantics for a dedup window. */
   def dropExactDuplicates(stream: DataFrame, idCol: String, textCol: String,
                           tsCol: String, watermark: String = "10 minutes"): DataFrame =
     stream
       .withColumn("fp", GraftExpressions.strHash(lower(col(textCol))))
       .withWatermark(tsCol, watermark)
-      .dropDuplicates("fp")
+      .dropDuplicatesWithinWatermark("fp")
       .drop("fp")
 
   /** Streams LSH band collisions of arriving docs against a static corpus

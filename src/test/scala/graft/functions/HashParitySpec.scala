@@ -20,8 +20,12 @@ class HashParitySpec extends AnyFlatSpec with Matchers with SparkTestBase {
 
   it should "agree between host, builtin expression and kernel expression" in {
     import spark.implicits._
-    val samples = Seq("", "a", "abc", "the quick brown fox", "sort merge join",
-      "x" * 100, "agg row scan slow fast", "123 456", "a b c d e f g h")
+    // includes the oracle edge cases: empty string, whitespace-only, empty
+    // tokens from consecutive/leading/trailing spaces, and non-ASCII BMP
+    val samples = Seq("", " ", "  ", "a  b", " leading", "trailing ",
+      "a", "abc", "the quick brown fox", "sort merge join",
+      "x" * 100, "agg row scan slow fast", "123 456", "a b c d e f g h",
+      "héllo wörld", "éü")
     val df = samples.toDF("s")
     val rows = df.select(
       TextHash.strHash(col("s")).as("builtin"),
@@ -32,6 +36,48 @@ class HashParitySpec extends AnyFlatSpec with Matchers with SparkTestBase {
         r.getLong(1) shouldBe GoldenConfig.strHash(s)
       }
     }
+  }
+
+  it should "hash supplementary-plane characters as code points (kernel + host)" in {
+    import spark.implicits._
+    // astral input: the kernel and the host golden walk CODE POINTS — one
+    // value per emoji — matching DuckDB unicode(); the builtin is
+    // documented BMP-only (split("") yields two surrogates) and is NOT
+    // asserted here.
+    val samples = Seq("🙂", "a🙂b", "🌍 x 🌍")
+    def cpHash(s: String): Long = {
+      var h = 0L; var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        h = (h * StrBase + cp) % P
+        i += Character.charCount(cp)
+      }
+      h
+    }
+    val rows = samples.toDF("s")
+      .select(GraftExpressions.strHash(col("s")).as("kernel")).collect()
+    rows.zip(samples).foreach { case (r, s) =>
+      withClue(s"input='$s'") {
+        r.getLong(0) shouldBe cpHash(s)
+        GoldenConfig.strHash(s) shouldBe cpHash(s)
+      }
+    }
+  }
+
+  it should "hash empty strings and empty tokens to 0 everywhere" in {
+    import spark.implicits._
+    // the guarded DuckDB oracle also returns 0 here (unicode('') = -1 is
+    // filtered out) — parity pinned by this test on the Spark side
+    val rows = Seq("", "a  b").toDF("s")
+      .select(explode(TextHash.tokens(col("s"))).as("tok"))
+      .select(GraftExpressions.strHash(col("tok")).as("kernel"),
+        TextHash.strHash(col("tok")).as("builtin"))
+      .collect()
+    rows.filter(_.getLong(0) == 0L) should not be empty
+    rows.foreach { r =>
+      if (r.getLong(0) == 0L) r.getLong(1) shouldBe 0L
+    }
+    GoldenConfig.strHash("") shouldBe 0L
   }
 
   it should "stay in [0, P)" in {

@@ -34,6 +34,37 @@ class StreamingDedupSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     } finally q.stop()
   }
 
+  it should "evict state past the watermark (re-arrival after expiry is new)" in {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val df = mem.toDF().toDF("doc_id", "text", "ts")
+    val out = StreamingDedup.dropExactDuplicates(df, "doc_id", "text", "ts",
+      watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sdd_evict")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: first arrival of T
+      mem.addData((1L, "dup text", Timestamp.valueOf("2020-01-01 00:00:00")))
+      q.processAllAvailable()
+      // batch 2: duplicate inside the dedup window → dropped
+      mem.addData((2L, "dup text", Timestamp.valueOf("2020-01-01 00:00:05")))
+      q.processAllAvailable()
+      // batch 3: advance the watermark far past T's expiry
+      // (wm = 00:30 - 10min = 00:20 > 00:00 + 10min ⇒ T's state evicted)
+      mem.addData((3L, "advance", Timestamp.valueOf("2020-01-01 00:30:00")))
+      q.processAllAvailable()
+      // batch 4: T re-arrives AFTER expiry → must be treated as NEW
+      mem.addData((4L, "dup text", Timestamp.valueOf("2020-01-01 00:25:00")))
+      q.processAllAvailable()
+      val ids = spark.table("sdd_evict").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      ids should contain(1L)
+      ids should not contain 2L   // dedup inside the window works
+      ids should contain(3L)
+      ids should contain(4L)      // state was actually evicted
+    } finally q.stop()
+  }
+
   "nearDupAgainstCorpus" should "flag band collisions against a static corpus" in {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq((100L, longText)).toDF("doc_id", "text")
