@@ -32,12 +32,24 @@ object SkewSalting {
     * @param fanout   number of salt partitions for hot buckets
     */
   def selfJoinPairs(df: DataFrame, keyCols: Seq[String], idCol: String,
-                    cap: Int, fanout: Int): DataFrame = {
+                    cap: Int, fanout: Int): DataFrame =
+    selfJoinPairsVerified(df, keyCols, idCol, Nil, cap, fanout)
+
+  /** Like [[selfJoinPairs]], but each pair must ALSO agree on `verifyCols` —
+    * which are NOT part of the bucket/salt key. Use when the bucket key is a
+    * hash and exactness requires comparing the underlying value within the
+    * bucket (e.g. the suffix-array pass: bucket by l-gram HASH — longs
+    * shuffle and compare cheaply — then verify the l-token prefix string
+    * only against same-bucket rows, so a hash collision can never produce a
+    * false pair). */
+  def selfJoinPairsVerified(df: DataFrame, keyCols: Seq[String], idCol: String,
+                            verifyCols: Seq[String], cap: Int, fanout: Int): DataFrame = {
     val keys = keyCols.map(col)
+    val payload = verifyCols.map(col)
     // Materialized once (lazily) — reused by the count pass, the cold join
     // (both sides) and the hot join; without this every consumer recomputes
     // the whole upstream signature pipeline.
-    val in = df.select(keys :+ col(idCol).as("id"): _*).localCheckpoint(false)
+    val in = df.select(keys ++ payload :+ col(idCol).as("id"): _*).localCheckpoint(false)
 
     // Hot-bucket detection stays INSIDE the lazy plan (a join against the
     // per-bucket counts, not a collect+broadcast) — no extra driver action;
@@ -51,20 +63,26 @@ object SkewSalting {
       .localCheckpoint(false)
 
     val cold = flagged.where(!col("hot")).drop("hot")
-    val coldPairs = pairJoin(cold, cold, keyCols)
+    val coldPairs = pairJoin(cold, cold, keyCols, verifyCols)
 
     val hotRows = flagged.where(col("hot")).drop("hot")
     val salted = hotRows.withColumn("salt", pmod(xxhash64(col("id")), lit(fanout)))
     val replicated = hotRows
       .withColumn("salt", explode(sequence(lit(0L), lit(fanout - 1L))))
-    val hotPairs = pairJoin(salted, replicated, keyCols :+ "salt")
+    val hotPairs = pairJoin(salted, replicated, keyCols :+ "salt", verifyCols)
 
     coldPairs.unionByName(hotPairs).dropDuplicates("a", "b")
   }
 
-  private def pairJoin(l: DataFrame, r: DataFrame, joinCols: Seq[String]): DataFrame = {
-    val lhs = l.select(joinCols.map(col) :+ col("id").as("a"): _*)
-    val rhs = r.select(joinCols.map(col) :+ col("id").as("b"): _*)
-    lhs.join(rhs, joinCols).where(col("a") < col("b")).select(col("a"), col("b"))
+  private def pairJoin(l: DataFrame, r: DataFrame, joinCols: Seq[String],
+                       verifyCols: Seq[String]): DataFrame = {
+    val lhs = l.select(joinCols.map(col) ++
+      verifyCols.map(c => col(c).as(s"${c}_l")) :+ col("id").as("a"): _*)
+    val rhs = r.select(joinCols.map(col) ++
+      verifyCols.map(c => col(c).as(s"${c}_r")) :+ col("id").as("b"): _*)
+    val verified = verifyCols.foldLeft(lhs.join(rhs, joinCols)) { (d, c) =>
+      d.where(col(s"${c}_l") === col(s"${c}_r"))
+    }
+    verified.where(col("a") < col("b")).select(col("a"), col("b"))
   }
 }
