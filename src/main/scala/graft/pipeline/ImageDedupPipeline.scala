@@ -93,13 +93,15 @@ object ImageDedupPipeline {
       reps.groupBy(col("caption")).agg(min(col("image_id")).as("cid"))
     }
 
-    // shingle-HASH arrays (distinct, sorted longs) — the verify stage
-    // intersects hashes, never shingle strings
+    // shingle-HASH arrays (distinct, sorted longs) + rolling L-gram hashes,
+    // both computed ONCE per caption representative — the verify stage
+    // intersects hash arrays, never re-tokenizes a caption per pair
     val shingleTbl = ckpt.stage("s2_shingles") {
+      val t = graft.functions.TextHash.tokens(col("caption"))
       capReps.select(col("cid").as("id"),
-        graft.functions.GraftExpressions.shingleHashes(
-          graft.functions.TextHash.tokens(col("caption")), ShingleK).as("shingles"))
-        .where(col("shingles").isNotNull)
+          graft.functions.GraftExpressions.shingleHashes(t, ShingleK).as("shingles"),
+          graft.functions.GraftExpressions.gramHashes(t, SubstringL).as("grams"))
+        .where(col("shingles").isNotNull || col("grams").isNotNull)
     }
     val lshPairs = ckpt.stage("s3_lsh_pairs") {
       MinHashLsh.candidatePairs(
@@ -160,10 +162,11 @@ object ImageDedupPipeline {
         col("bytes_hash"), col("phash"))
       val bytesTbl = input.select(col("image_id"), col("bytes"))
 
-      // shingles are keyed by caption-rep id — route row → cid → shingles
+      // shingle/gram hash arrays are keyed by caption-rep id — route
+      // row → cid → arrays (computed once per caption, never per pair)
       val shByRow = memberMap
-        .join(shingleTbl.select(col("id").as("cid"), col("shingles")), "cid")
-        .select(col("image_id"), col("shingles"))
+        .join(shingleTbl.select(col("id").as("cid"), col("shingles"), col("grams")), "cid")
+        .select(col("image_id"), col("shingles"), col("grams"))
         .localCheckpoint(false) // joined twice (a and b side)
 
       val withMeta = cand
@@ -171,21 +174,20 @@ object ImageDedupPipeline {
           col("bytes_hash").as("bh_a"), col("phash").as("ph_a")), "a")
         .join(capt.select(col("image_id").as("b"), col("caption").as("cap_b"),
           col("bytes_hash").as("bh_b"), col("phash").as("ph_b")), "b")
-        .join(shByRow.select(col("image_id").as("a"), col("shingles").as("sh_a")), Seq("a"), "left")
-        .join(shByRow.select(col("image_id").as("b"), col("shingles").as("sh_b")), Seq("b"), "left")
+        .join(shByRow.select(col("image_id").as("a"), col("shingles").as("sh_a"),
+          col("grams").as("gr_a")), Seq("a"), "left")
+        .join(shByRow.select(col("image_id").as("b"), col("shingles").as("sh_b"),
+          col("grams").as("gr_b")), Seq("b"), "left")
 
       val interSz = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
       // caption criterion, cheap → expensive (|| short-circuits in codegen);
-      // the substring check is re-verified per pair on l-gram hash arrays —
-      // candidate provenance is never trusted
-      val g8 = (c: org.apache.spark.sql.Column) =>
-        graft.functions.GraftExpressions.gramHashes(
-          graft.functions.TextHash.tokens(c), SubstringL)
+      // the substring check is re-verified per pair on the PRECOMPUTED
+      // l-gram hash arrays — candidate provenance is never trusted
       val captionOk = (col("cap_a") === col("cap_b")) ||
         (col("sh_a").isNotNull && col("sh_b").isNotNull &&
           graft.functions.TextHash.jaccardGe(interSz,
             size(col("sh_a")).cast("long"), size(col("sh_b")).cast("long"))) ||
-        coalesce(arrays_overlap(g8(col("cap_a")), g8(col("cap_b"))), lit(false))
+        coalesce(arrays_overlap(col("gr_a"), col("gr_b")), lit(false))
 
       // image criterion ladder: identical bytes → phash Hamming prefilter
       // (integer, kills e.g. the viral caption-equal mega-bucket without a
