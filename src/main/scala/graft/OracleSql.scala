@@ -58,6 +58,27 @@ object OracleSql {
   private val textPipeline =
     Seq(toks, shinglesCte(K), shh, sig, bandsCte, cand, ver).mkString(",\n ")
 
+  /** Candidate pipeline up to (unfiltered) pair stats — shared by the
+    * evaluation oracles (q28/q29). */
+  private val scoredCand =
+    Seq(toks, shinglesCte(K), shh, sig, bandsCte, cand,
+      "sc AS (SELECT c.a, c.b, len(list_intersect(sa.s, sb.s))::BIGINT AS inter, len(sa.s)::BIGINT AS na, len(sb.s)::BIGINT AS nb FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b)")
+      .mkString(",\n ")
+
+  /** Left-fold double dot product of two DuckDB list expressions —
+    * order-pinned, mirrors Spark's aggregate(zip_with(...)). */
+  private def dotSql(x: String, y: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [$x[i+1]::DOUBLE * $y[i+1]::DOUBLE FOR i IN range(0, len($x))]), (a,v) -> a+v)"
+
+  /** Random-hyperplane LSH bucket of a DuckDB list expression (mirrors
+    * AnnSearch.lshBuckets; also used verbatim by q18). */
+  private def bucketSql(v: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT), [
+ (CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+    [$v[i+1]::DOUBLE * ((($M*(h*1024+i) + $LcgAddA) % $P) % 2 * 2 - 1)::DOUBLE FOR i IN range(0, len($v))]),
+    (a,v) -> a+v) > 0 THEN 1 ELSE 0 END)::BIGINT
+ FOR h IN range(${AnnHyperplanes - 1},-1,-1)]), (acc,b) -> acc*2+b)"""
+
   private val simhashCtes = {
     val bits = SimHashBits
     s"""tok AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS token FROM documents),
@@ -192,11 +213,7 @@ FROM t x JOIN t y ON x.doc_id < y.doc_id ORDER BY a, b""",
 SELECT query_id, rank, neighbor_id FROM rk WHERE rank <= $AnnTopK ORDER BY query_id, rank""",
 
     "q18_ann_lsh_buckets" ->
-      s"""SELECT vec_id, list_reduce(list_prepend(CAST(0 AS BIGINT), [
- (CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-    [embedding[i+1]::DOUBLE * ((($M*(h*1024+i) + $LcgAddA) % $P) % 2 * 2 - 1)::DOUBLE FOR i IN range(0, len(embedding))]),
-    (a,v) -> a+v) > 0 THEN 1 ELSE 0 END)::BIGINT
- FOR h IN range(${AnnHyperplanes - 1},-1,-1)]), (acc,b) -> acc*2+b) AS bucket
+      s"""SELECT vec_id, ${bucketSql("embedding")} AS bucket
 FROM embeddings ORDER BY vec_id""",
 
     "q19_agg_pricing" ->
@@ -255,6 +272,122 @@ SELECT a, b FROM p ORDER BY a, b""",
     "q26_block_histogram" ->
       """SELECT block_size, count(*)::BIGINT AS n_blocks FROM (
  SELECT substr(lower(p_name),1,3) AS bkey, count(*)::BIGINT AS block_size FROM part GROUP BY 1) t
-GROUP BY block_size ORDER BY block_size"""
+GROUP BY block_size ORDER BY block_size""",
+
+    // per-threshold precision/recall/F1 over unfiltered candidate scores;
+    // gold = exact Jaccard >= tau (the verify criterion)
+    "q28_threshold_curve" ->
+      s"""WITH $scoredCand,
+ sc3 AS (SELECT (inter*1000)//(na+nb-inter) AS score_millis, inter*$TauDen >= $TauNum*(na+nb-inter) AS gold FROM sc),
+ th AS (SELECT t*100 AS thresh_millis FROM unnest(range(0,11)) AS u(t)),
+ agg AS (SELECT thresh_millis,
+   sum(CASE WHEN gold AND score_millis >= thresh_millis THEN 1 ELSE 0 END)::BIGINT AS tp,
+   sum(CASE WHEN NOT gold AND score_millis >= thresh_millis THEN 1 ELSE 0 END)::BIGINT AS fp,
+   sum(CASE WHEN gold AND score_millis < thresh_millis THEN 1 ELSE 0 END)::BIGINT AS fn
+  FROM sc3, th GROUP BY thresh_millis)
+SELECT thresh_millis, tp, fp, fn,
+ CASE WHEN tp+fp > 0 THEN (tp*1000)//(tp+fp) ELSE 0 END AS precision_millis,
+ CASE WHEN tp+fn > 0 THEN (tp*1000)//(tp+fn) ELSE 0 END AS recall_millis,
+ CASE WHEN 2*tp+fp+fn > 0 THEN (tp*2000)//(2*tp+fp+fn) ELSE 0 END AS f1_millis
+FROM agg ORDER BY thresh_millis""",
+
+    // weighted multi-measure candidate score under the default ScoreConfig
+    // (jaccard 500 / dice 300 / overlap 200, milli-units, integer division)
+    "q29_weighted_scores" ->
+      s"""WITH $scoredCand,
+ m AS (SELECT a, b,
+   (inter*1000)//(na+nb-inter) AS jaccard_millis,
+   (inter*2000)//(na+nb) AS dice_millis,
+   (inter*1000)//least(na,nb) AS overlap_millis
+  FROM sc)
+SELECT a, b, jaccard_millis, dice_millis, overlap_millis,
+ (jaccard_millis*500 + dice_millis*300 + overlap_millis*200)//1000 AS score_millis
+FROM m ORDER BY a, b""",
+
+    // all five reference blocking schemes as (scheme, bkey, block_size)
+    "q30_blocking_schemes" ->
+      s"""WITH p AS (SELECT lower(p_name) AS n, p_retailprice, p_partkey FROM part),
+ keys AS (
+  SELECT 'simple' AS scheme, substr(n, 1, 3) AS bkey FROM p
+  UNION ALL SELECT 'last_letters', substr(n, greatest(length(n)-2, 1), 3) FROM p
+  UNION ALL SELECT 'list_token', unnest(string_split(n, ' ')) FROM p
+  UNION ALL SELECT 'grid', CAST(CAST(floor(p_retailprice/100.0) AS BIGINT) AS VARCHAR) FROM p
+  UNION ALL SELECT 'random', CAST(($M*p_partkey + $LcgAddA) % $P % 100 AS VARCHAR) FROM p)
+SELECT scheme, bkey, count(*)::BIGINT AS block_size FROM keys
+GROUP BY scheme, bkey ORDER BY scheme, bkey""",
+
+    // LSH-bucket ANN: candidates from the bucket equi-join, exact cosine
+    // re-rank within buckets (the q18 bucket + q17 cosine, end to end)
+    "q31_ann_lsh_topk" ->
+      s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+ q AS (SELECT vec_id AS query_id, bucket, embedding AS qv FROM b WHERE vec_id < 10),
+ cand AS (SELECT q.query_id, c.vec_id AS neighbor_id, q.qv, c.embedding AS cv
+   FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.query_id),
+ s AS (SELECT query_id, neighbor_id,
+   ${dotSql("qv", "cv")} / sqrt(${dotSql("qv", "qv")}) / sqrt(${dotSql("cv", "cv")}) AS cos
+  FROM cand),
+ rk AS (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)::BIGINT AS rank FROM s)
+SELECT query_id, rank, neighbor_id FROM rk WHERE rank <= $AnnTopK ORDER BY query_id, rank""",
+
+    // entity version summary: first/last/current values per user in
+    // (ts, event_id) order — deterministic surrogate for TimeUUID history
+    "q32_version_history" ->
+      """WITH v AS (SELECT user_id, event_id, event_type,
+   CAST(round(value*100) AS BIGINT) AS value_c,
+   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+   count(*) OVER (PARTITION BY user_id) AS nv
+  FROM events)
+SELECT user_id, max(nv)::BIGINT AS n_versions,
+ max(CASE WHEN rn = 1 THEN event_id END)::BIGINT AS first_event_id,
+ max(CASE WHEN rn = nv THEN event_id END)::BIGINT AS last_event_id,
+ max(CASE WHEN rn = nv THEN event_type END) AS cur_event_type,
+ max(CASE WHEN rn = nv THEN value_c END)::BIGINT AS cur_value_c
+FROM v GROUP BY user_id ORDER BY user_id""",
+
+    // word count over stopword-filtered + suffix-stemmed tokens (the
+    // stemmer is a pinned CASE ladder, identical on both engines)
+    "q33_wordcount_stemmed" -> {
+      val sw = graft.operators.TextAnalysis.Stopwords.map(s => s"'$s'").mkString("[", ",", "]")
+      s"""WITH $toks,
+ ct AS (SELECT doc_id, unnest([x FOR x IN t IF NOT list_contains($sw, x) AND x <> '']) AS tok FROM toks),
+ sm AS (SELECT doc_id, CASE
+    WHEN ends_with(tok,'ing') AND length(tok) > 5 THEN substr(tok, 1, length(tok)-3)
+    WHEN ends_with(tok,'ed') AND length(tok) > 4 THEN substr(tok, 1, length(tok)-2)
+    WHEN ends_with(tok,'ly') AND length(tok) > 4 THEN substr(tok, 1, length(tok)-2)
+    WHEN ends_with(tok,'es') AND length(tok) > 4 THEN substr(tok, 1, length(tok)-2)
+    WHEN ends_with(tok,'s') AND length(tok) > 3 AND NOT ends_with(tok,'ss') THEN substr(tok, 1, length(tok)-1)
+    ELSE tok END AS token FROM ct)
+SELECT token, count(*)::BIGINT AS cnt, count(DISTINCT doc_id)::BIGINT AS doc_cnt
+FROM sm GROUP BY token ORDER BY token"""
+    },
+
+    // integer tf-idf vectors: idf_milli = (1000*(N+1)) div (df+1)
+    "q34_tfidf" ->
+      """WITH tf AS (SELECT doc_id, tok AS token, count(*)::BIGINT AS tf
+   FROM (SELECT doc_id, unnest(string_split(lower(text),' ')) AS tok FROM documents)
+   GROUP BY doc_id, tok),
+ dfreq AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY token),
+ n AS (SELECT count(*)::BIGINT AS n FROM documents)
+SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+ (tf.tf * ((1000*(n.n+1))//(dfreq.df+1)))::BIGINT AS tfidf_milli
+FROM tf JOIN dfreq USING (token) CROSS JOIN n
+ORDER BY doc_id, token""",
+
+    // exact integer cosine components between tf-idf vectors of doc pairs
+    "q35_tfidf_cosine" ->
+      """WITH tf AS (SELECT doc_id, tok AS token, count(*)::BIGINT AS tf
+   FROM (SELECT doc_id, unnest(string_split(lower(text),' ')) AS tok FROM documents)
+   GROUP BY doc_id, tok),
+ dfreq AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY token),
+ n AS (SELECT count(*)::BIGINT AS n FROM documents),
+ v AS (SELECT doc_id, token, (tf * ((1000*(n.n+1))//(dfreq.df+1)))::BIGINT AS w
+   FROM tf JOIN dfreq USING (token) CROSS JOIN n WHERE doc_id < 30),
+ norms AS (SELECT doc_id, sum(w*w)::BIGINT AS n2 FROM v GROUP BY doc_id),
+ dots AS (SELECT x.doc_id AS a, y.doc_id AS b, sum(x.w*y.w)::BIGINT AS dot
+   FROM v x JOIN v y ON x.token = y.token AND x.doc_id < y.doc_id
+   GROUP BY x.doc_id, y.doc_id)
+SELECT a, b, dot, na.n2 AS na2, nb.n2 AS nb2
+FROM dots JOIN norms na ON na.doc_id = a JOIN norms nb ON nb.doc_id = b
+ORDER BY a, b"""
   )
 }

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.config.GoldenConfig._
+
+/** Per-phase scaling companion to [[ScalingBench]] (north-rule scaling
+  * evidence, BASELINE.md protocol): times each pipeline phase SEPARATELY at
+  * N vs 4N cores so the single-box bottleneck can be isolated instead of
+  * inferred. [[ComputeScalingBench]] covers the pure compute kernel; this
+  * adds the I/O- and shuffle-bound phases:
+  *
+  *  - scan_hash:   parquet scan of the (bytes-heavy) input + xxhash64 fold —
+  *                 memory-bandwidth-bound columnar read
+  *  - shuffle_agg: exact-collapse groupBy (caption, bytes_hash) — hash
+  *                 aggregate with a wide-row shuffle
+  *  - band_shuffle: MinHash signatures → LSH band explode → groupBy band —
+  *                 the engine's largest long-key shuffle
+  *  - decode_psnr: PNG decode + PSNR over adjacent-id pairs — the verify
+  *                 stage's CPU path (codec allocation behavior)
+  *
+  * Usage: GRAFT_BENCH_N=300000 sbt "runMain graft.PhaseScalingBench [phases]"
+  * Prints one JSON line per phase plus a summary line.
+  */
+object PhaseScalingBench {
+
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.get("GRAFT_BENCH_N").map(_.toLong).getOrElse(300000L)
+    val cores = sys.env.getOrElse("GRAFT_BENCH_CORES", "6,24").split(",").map(_.trim.toInt)
+    val reps = sys.env.get("GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
+    val inputPath = s"/tmp/graft_scaling_input_$n"
+    if (!new java.io.File(s"$inputPath/_SUCCESS").exists()) {
+      val s = session(cores.max)
+      try graft.images.SyntheticImages.generate(s, n).toDF()
+        .write.mode("overwrite").parquet(inputPath)
+      finally s.stop()
+    }
+
+    val all: Seq[(String, SparkSession => DataFrame)] = Seq(
+      "scan_hash" -> { s =>
+        s.read.parquet(inputPath)
+          .select(xxhash64(col("bytes")).as("bh"), col("phash"))
+          .agg(bit_xor(col("bh")), bit_xor(col("phash")))
+      },
+      "shuffle_agg" -> { s =>
+        s.read.parquet(inputPath)
+          .select(lower(col("caption")).as("caption"), xxhash64(col("bytes")).as("bh"),
+            col("image_id"))
+          .groupBy("caption", "bh").agg(min(col("image_id")).as("rep"), count(lit(1)))
+          .agg(count(lit(1)))
+      },
+      "band_shuffle" -> { s =>
+        val caps = s.read.parquet(inputPath)
+          .select(col("image_id").as("cid"), lower(col("caption")).as("caption"))
+          .dropDuplicates("caption")
+        val bands = graft.operators.MinHashLsh.bands(
+          graft.operators.MinHashLsh.signaturesFromText(caps, "cid", "caption"))
+        bands.groupBy("band_idx", "band_hash").agg(count(lit(1))).agg(count(lit(1)))
+      },
+      "decode_psnr" -> { s =>
+        // deterministic ~5% sample; psnr(bytes, bytes) decodes each side —
+        // measures codec throughput with an input set independent of the
+        // core count (no partition-dependent ids)
+        s.read.parquet(inputPath)
+          .where(pmod(xxhash64(col("image_id")), lit(20)) === 0)
+          .select(graft.pipeline.ImageDedupPipeline.psnrUdf(
+            col("bytes"), col("bytes")).as("p"))
+          .agg(count(col("p")))
+      })
+    val selected = if (args.nonEmpty) all.filter(p => args.contains(p._1)) else all
+
+    val summary = selected.map { case (name, job) =>
+      val results = cores.map { c =>
+        val spark = session(c)
+        try {
+          job(spark).collect() // warmup (also absorbs first-scan cost)
+          val wall = (1 to reps).map { _ =>
+            val t0 = System.nanoTime()
+            job(spark).collect()
+            (System.nanoTime() - t0) / 1e9
+          }.min
+          (c, wall)
+        } finally spark.stop()
+      }
+      val lo = results.minBy(_._1); val hi = results.maxBy(_._1)
+      val eff = (lo._2 * lo._1) / (hi._2 * hi._1)
+      val runs = results.map { case (c, w) =>
+        s"""{"cores":$c,"wall_sec":$w,"rows_per_sec":${(n / w).toLong}}""" }
+        .mkString("[", ",", "]")
+      println(s"""{"bench":"phase_scaling","phase":"$name","n":$n,"runs":$runs,"efficiency":$eff}""")
+      name -> eff
+    }
+    val pairs = summary.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    println(s"""{"bench":"phase_scaling_summary","n":$n,"efficiencies":$pairs}""")
+  }
+
+  private def session(cores: Int): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-phase-$cores")
+      .config("spark.sql.shuffle.partitions", (cores * 4).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -141,6 +141,60 @@ object Queries {
       .orderBy("a", "b")
   }
 
+  // ---- candidate-pair evaluation (A20/A21) ---------------------------------
+
+  /** Unfiltered shingle-set stats for every LSH candidate pair — the shared
+    * input of the evaluation queries (verify WITHOUT the τ filter). */
+  private def scoredCandidates(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleTbl(s, dir)
+    val cand = MinHashLsh.candidatePairs(MinHashLsh.bands(sigTbl(s, dir)))
+    cand
+      .join(sh.select(col("id").as("a"), col("shingles").as("sh_a")), "a")
+      .join(sh.select(col("id").as("b"), col("shingles").as("sh_b")), "b")
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
+        size(col("sh_a")).cast("long").as("na"),
+        size(col("sh_b")).cast("long").as("nb"))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+  }
+
+  /** Precision/recall/F1 per score threshold (A21 SimilarityMeasureEvaluation):
+    * gold = exact Jaccard ≥ τ, prediction = score ≥ threshold. */
+  def thresholdCurve(s: SparkSession, dir: String): DataFrame = {
+    val sc = scoredCandidates(s, dir)
+      .withColumn("score_millis", expr("(inter * 1000) div uni"))
+      .withColumn("gold", TextHash.jaccardGe(col("inter"), col("na"), col("nb")))
+    Evaluation.thresholdCurve(sc.select("score_millis", "gold"))
+      .orderBy("thresh_millis")
+  }
+
+  /** Weighted multi-measure candidate scores (A20 DuplicateCandidates +
+    * ScoreConfig): Jaccard/Dice/Overlap milli-scores folded under the
+    * default config weights. */
+  def weightedScores(s: SparkSession, dir: String): DataFrame = {
+    val m = scoredCandidates(s, dir)
+      .withColumn("jaccard_millis", expr("(inter * 1000) div uni"))
+      .withColumn("dice_millis", expr("(inter * 2000) div (na + nb)"))
+      .withColumn("overlap_millis", expr("(inter * 1000) div least(na, nb)"))
+    Evaluation.weightedScore(m, graft.config.ScoreConfig.default)
+      .select("a", "b", "jaccard_millis", "dice_millis", "overlap_millis",
+        "score_millis")
+      .orderBy("a", "b")
+  }
+
+  /** All five reference blocking schemes (A37) over part, as
+    * (scheme, bkey, block_size). */
+  def blockingSchemes(s: SparkSession, dir: String): DataFrame = {
+    val p = tbl(s, dir, "part")
+    BlockingSchemes.blockingStats(p, Seq(
+      "simple" -> BlockingSchemes.simpleKey(col("p_name")),
+      "last_letters" -> BlockingSchemes.lastLettersKey(col("p_name")),
+      "list_token" -> explode(BlockingSchemes.tokenKeys(col("p_name"))),
+      "grid" -> BlockingSchemes.gridKey(col("p_retailprice"), 100.0),
+      "random" -> BlockingSchemes.randomKey(col("p_partkey"))))
+      .orderBy("scheme", "bkey")
+  }
+
   // ---- ANN over embeddings -------------------------------------------------
 
   private def vecs(s: SparkSession, dir: String): DataFrame =
@@ -156,6 +210,14 @@ object Queries {
     AnnSearch.lshBuckets(vecs(s, dir))
       .select(col("id").as("vec_id"), col("bucket"))
       .orderBy("vec_id")
+
+  /** ANN scale path end-to-end: LSH bucket join + exact cosine re-rank
+    * within buckets. */
+  def annLshTopK(s: SparkSession, dir: String): DataFrame = {
+    val c = vecs(s, dir)
+    AnnSearch.lshTopK(c, c.where(col("id") < 10))
+      .orderBy("query_id", "rank")
+  }
 
   // ---- relational operators (reference A-rows over TPC-H-ish tables) -------
 
@@ -234,4 +296,32 @@ object Queries {
       .groupBy(col("block_size"))
       .agg(count(lit(1)).as("n_blocks"))
       .orderBy("block_size")
+
+  /** Entity version summary over the events stream (A39 versioning):
+    * first/last/current values per user in (ts, event_id) order. */
+  def versionHistory(s: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(s, dir, "events")
+      .withColumn("value_c", expr("cast(round(value * 100) AS bigint)"))
+    Versioning.versionSummary(ev, "user_id", "ts", "event_id",
+      Seq("event_type", "value_c"))
+      .orderBy("user_id")
+  }
+
+  /** Word count over stopword-filtered + stemmed tokens (A27 variants). */
+  def wordCountStemmed(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.wordCountStemmed(docs(s, dir), "doc_id", "text")
+      .orderBy("token")
+
+  /** Integer tf-idf vectors over documents (A38). */
+  def tfidfVectors(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidf(docs(s, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "token")
+
+  /** Exact integer tf-idf cosine components for low-id doc pairs (A38). */
+  def tfidfCosine(s: SparkSession, dir: String): DataFrame = {
+    val v = TextAnalysis.tfidf(docs(s, dir), "doc_id", "text")
+      .where(col("id") < 30)
+    TextAnalysis.tfidfCosine(v).orderBy("a", "b")
+  }
 }

@@ -37,7 +37,15 @@ object SparkEntry {
     "q24_json_events"    -> (Queries.jsonEvents(_, _)),
     "q25_blocking_stats" -> (Queries.blockingStats(_, _)),
     "q26_block_histogram" -> (Queries.blockHistogram(_, _)),
-    "q27_suffix_array_pairs" -> (Queries.suffixArrayPairs(_, _))
+    "q27_suffix_array_pairs" -> (Queries.suffixArrayPairs(_, _)),
+    "q28_threshold_curve" -> (Queries.thresholdCurve(_, _)),
+    "q29_weighted_scores" -> (Queries.weightedScores(_, _)),
+    "q30_blocking_schemes" -> (Queries.blockingSchemes(_, _)),
+    "q31_ann_lsh_topk"   -> (Queries.annLshTopK(_, _)),
+    "q32_version_history" -> (Queries.versionHistory(_, _)),
+    "q33_wordcount_stemmed" -> (Queries.wordCountStemmed(_, _)),
+    "q34_tfidf"          -> (Queries.tfidfVectors(_, _)),
+    "q35_tfidf_cosine"   -> (Queries.tfidfCosine(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

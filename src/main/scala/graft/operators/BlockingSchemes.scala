@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.config.GoldenConfig.{LcgMul, LcgAddA, P}
+
+/** Blocking-key schemes (SURVEY §2 A37) — the reference ships a family of
+  * key extractors under R:.../deduplication/blockingschemes/
+  * (SimpleBlockingScheme, ListBlockingScheme, LastLettersBlockingScheme,
+  * GeoCoordsBlockingScheme, RandomBlockingScheme). Re-expressed as pure
+  * Column expressions (codegen'd, no UDFs): each returns the blocking key(s)
+  * for a row; [[blockingStats]] turns any of them into the standard
+  * (scheme, bkey, block_size) table.
+  *
+  * LSH supersedes these for the dedup hot path (candidate recall without
+  * hand-chosen keys); they remain available for reference-parity blocking
+  * and for block-size diagnostics.
+  */
+object BlockingSchemes {
+
+  /** SimpleBlockingScheme: first `n` chars of the lowercased value. */
+  def simpleKey(c: Column, n: Int = 3): Column =
+    substring(lower(c), 1, n)
+
+  /** LastLettersBlockingScheme: last `n` chars of the lowercased value. */
+  def lastLettersKey(c: Column, n: Int = 3): Column =
+    lower(c).substr(greatest(length(c) - (n - 1), lit(1)), lit(n))
+
+  /** ListBlockingScheme: every (lowercased, whitespace) token is a key —
+    * use with explode(). */
+  def tokenKeys(c: Column): Column = split(lower(c), " ")
+
+  /** GeoCoordsBlockingScheme analog: numeric grid cell — floor(value/cell)
+    * as the key (the reference rounds lat/lon to a grid; any numeric
+    * banding has the same shape). */
+  def gridKey(c: Column, cell: Double): Column =
+    floor(c / cell).cast("long").cast("string")
+
+  /** RandomBlockingScheme, made deterministic: pinned-LCG hash of the id
+    * into `buckets` — reproducible across engines (the reference uses
+    * Random; a pinned LCG keeps the oracle contract). */
+  def randomKey(id: Column, buckets: Int = 100): Column =
+    (pmod(lit(LcgMul) * id + lit(LcgAddA), lit(P)) % buckets).cast("string")
+
+  /** (scheme, bkey, block_size) for a set of named key expressions. For
+    * list schemes pass `explode(tokenKeys(...))` — one key per token. */
+  def blockingStats(df: DataFrame, schemes: Seq[(String, Column)]): DataFrame =
+    schemes.map { case (name, key) =>
+      df.select(key.as("bkey"))
+        .groupBy(col("bkey")).agg(count(lit(1)).as("block_size"))
+        .select(lit(name).as("scheme"), col("bkey"), col("block_size"))
+    }.reduce(_.unionByName(_))
+}

@@ -69,6 +69,66 @@ object TextAnalysis {
       .groupBy("token")
       .agg(count(lit(1)).as("cnt"), countDistinct(col("id")).as("doc_cnt"))
 
+  // ---- tokenizer variants (A27: the reference's tokenizer family beyond
+  // lowercase-whitespace — stopword removal and a suffix stemmer) ----------
+
+  /** Stopword- and empty-token-filtered tokens. */
+  def cleanTokens(text: Column): Column =
+    filter(tokens(text), t => !t.isin(Stopwords: _*) && t =!= "")
+
+  /** Pinned deterministic suffix stemmer (CASE chain, not regex — regex
+    * alternation order is engine-specific; a when-ladder is oracle-exact):
+    * ing/ed/ly/es/s stripped with minimum stem lengths. */
+  def stemToken(t: Column): Column =
+    when(t.endsWith("ing") && length(t) > 5, t.substr(lit(1), length(t) - 3))
+      .when(t.endsWith("ed") && length(t) > 4, t.substr(lit(1), length(t) - 2))
+      .when(t.endsWith("ly") && length(t) > 4, t.substr(lit(1), length(t) - 2))
+      .when(t.endsWith("es") && length(t) > 4, t.substr(lit(1), length(t) - 2))
+      .when(t.endsWith("s") && length(t) > 3 && !t.endsWith("ss"),
+        t.substr(lit(1), length(t) - 1))
+      .otherwise(t)
+
+  /** Corpus word count over cleaned + stemmed tokens: (token, cnt, doc_cnt). */
+  def wordCountStemmed(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), explode(cleanTokens(col(textCol))).as("tok"))
+      .select(col("id"), stemToken(col("tok")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("id")).as("doc_cnt"))
+
+  // ---- tf-idf (A38: the reference's CosineContextComparator weighs token
+  // contexts by tf-idf before cosine) --------------------------------------
+
+  /** Integer tf-idf vectors: (id, token, tf, df, tfidf_milli) with
+    * idf_milli = (1000·(N+1)) div (df+1) — a deterministic integer idf
+    * (smoothed reciprocal document frequency; monotone in the real idf), so
+    * the DuckDB oracle matches bit-for-bit where a float log() would not. */
+  def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n"))
+    tf.join(dfreq, "token").crossJoin(broadcast(n))
+      .select(col("id"), col("token"), col("tf"), col("df"),
+        expr("tf * ((1000 * (n + 1)) div (df + 1))").as("tfidf_milli"))
+  }
+
+  /** Exact integer cosine components between tf-idf vectors of id pairs:
+    * (a, b, dot, na2, nb2) — cos = dot/√(na2·nb2) is computable downstream;
+    * keeping the integers exact makes the result oracle-checkable. Pairs
+    * sharing no token are omitted (dot = 0 carries no ranking signal). */
+  def tfidfCosine(vectors: DataFrame): DataFrame = {
+    val v = vectors.select(col("id"), col("token"), col("tfidf_milli").as("w"))
+    val norms = v.groupBy("id").agg(sum(col("w") * col("w")).as("n2"))
+    val dots = v.select(col("id").as("a"), col("token"), col("w").as("wa"))
+      .join(v.select(col("id").as("b"), col("token"), col("w").as("wb")), "token")
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(sum(col("wa") * col("wb")).as("dot"))
+    dots
+      .join(norms.select(col("id").as("a"), col("n2").as("na2")), "a")
+      .join(norms.select(col("id").as("b"), col("n2").as("nb2")), "b")
+      .select(col("a"), col("b"), col("dot"), col("na2"), col("nb2"))
+  }
+
   /** Rolling-hash fingerprint per document. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"),

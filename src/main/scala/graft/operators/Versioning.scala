@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Entity version history (SURVEY §2 A39 — the reference tracks per-field
+  * version history with TimeUUID-stamped Version objects,
+  * R:.../datalake/models/Version.scala). Spark-native re-expression:
+  * versions are the time-ordered change rows of an entity; the history is a
+  * window aggregation, the version id is the deterministic (ts, tieCol)
+  * order — reproducible across engines, unlike random TimeUUIDs.
+  */
+object Versioning {
+
+  /** Ordered (ts, value) history per entity as an array column plus the
+    * current value: (id, versions: array<struct<ts,value>>, n_versions,
+    * current). `sort_array` orders by ts then value — deterministic. */
+  def history(df: DataFrame, idCol: String, tsCol: String, valueCol: String): DataFrame =
+    df.groupBy(col(idCol).as("id"))
+      .agg(sort_array(collect_list(struct(col(tsCol).as("ts"),
+        col(valueCol).as("value")))).as("versions"))
+      .select(col("id"), col("versions"),
+        size(col("versions")).cast("long").as("n_versions"),
+        element_at(col("versions"), -1)("value").as("current"))
+
+  /** Flat version summary per entity — first/last version by (tsCol,
+    * tieCol) order plus the current values of `valueCols`. Integer/window
+    * only, so it carries a DuckDB oracle (q32). */
+  def versionSummary(df: DataFrame, idCol: String, tsCol: String, tieCol: String,
+                     valueCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(idCol).orderBy(col(tsCol), col(tieCol))
+    val n = Window.partitionBy(idCol)
+    val base = df
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("nv", count(lit(1)).over(n))
+    val curs = valueCols.map(c =>
+      max(when(col("rn") === col("nv"), col(c))).as(s"cur_$c"))
+    base.groupBy(col(idCol))
+      .agg(max(col("nv")).as("n_versions"),
+        (max(when(col("rn") === 1L, col(tieCol))).as(s"first_$tieCol") +:
+          max(when(col("rn") === col("nv"), col(tieCol))).as(s"last_$tieCol") +:
+          curs): _*)
+  }
+}

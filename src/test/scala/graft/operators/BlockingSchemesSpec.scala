@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class BlockingSchemesSpec extends AnyFlatSpec with Matchers with SparkTestBase {
+  import spark.implicits._
+
+  private val names = Seq(
+    (1L, "Audi AG", 100.0),
+    (2L, "audi motors", 250.0),
+    (3L, "BMW Group", 199.99),
+    (4L, "bmw", 200.0)
+  ).toDF("id", "name", "price")
+
+  "simpleKey" should "take the first n lowercased chars (short values whole)" in {
+    val keys = names.select(BlockingSchemes.simpleKey(col("name")))
+      .collect().map(_.getString(0))
+    keys shouldBe Array("aud", "aud", "bmw", "bmw")
+    Seq(("ab")).toDF("name").select(BlockingSchemes.simpleKey(col("name")))
+      .head().getString(0) shouldBe "ab"
+  }
+
+  "lastLettersKey" should "take the last n lowercased chars (short values whole)" in {
+    val keys = names.select(BlockingSchemes.lastLettersKey(col("name")))
+      .collect().map(_.getString(0))
+    keys shouldBe Array(" ag", "ors", "oup", "bmw")
+    Seq(("ab")).toDF("name").select(BlockingSchemes.lastLettersKey(col("name")))
+      .head().getString(0) shouldBe "ab"
+  }
+
+  "tokenKeys" should "emit one key per lowercased token" in {
+    val keys = names.where(col("id") === 1)
+      .select(explode(BlockingSchemes.tokenKeys(col("name"))))
+      .collect().map(_.getString(0))
+    keys shouldBe Array("audi", "ag")
+  }
+
+  "gridKey" should "band numeric values into cells" in {
+    val keys = names.select(BlockingSchemes.gridKey(col("price"), 100.0))
+      .collect().map(_.getString(0))
+    keys shouldBe Array("1", "2", "1", "2")
+  }
+
+  "randomKey" should "be deterministic and bounded" in {
+    val k1 = names.select(BlockingSchemes.randomKey(col("id")))
+      .collect().map(_.getString(0))
+    val k2 = names.select(BlockingSchemes.randomKey(col("id")))
+      .collect().map(_.getString(0))
+    k1 shouldBe k2
+    all(k1.map(_.toInt)) should (be >= 0 and be < 100)
+  }
+
+  "blockingStats" should "aggregate (scheme, bkey, block_size) across schemes" in {
+    val stats = BlockingSchemes.blockingStats(names, Seq(
+      "simple" -> BlockingSchemes.simpleKey(col("name")),
+      "list_token" -> explode(BlockingSchemes.tokenKeys(col("name")))))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    stats should contain(("simple", "aud", 2L))
+    stats should contain(("simple", "bmw", 2L))
+    stats should contain(("list_token", "bmw", 2L))
+    stats should contain(("list_token", "group", 1L))
+  }
+}
