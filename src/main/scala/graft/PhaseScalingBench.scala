@@ -36,14 +36,20 @@ object PhaseScalingBench {
       finally s.stop()
     }
 
+    // each phase replicates its scan so the measured region runs for
+    // seconds, not the ~0.3 s of fixed per-job overhead that would
+    // otherwise dominate the N-vs-4N comparison (Amdahl, not throughput)
+    def rep(s: SparkSession, k: Int): DataFrame =
+      (1 to k).map(_ => s.read.parquet(inputPath)).reduce(_.union(_))
+
     val all: Seq[(String, SparkSession => DataFrame)] = Seq(
       "scan_hash" -> { s =>
-        s.read.parquet(inputPath)
+        rep(s, 8)
           .select(xxhash64(col("bytes")).as("bh"), col("phash"))
           .agg(bit_xor(col("bh")), bit_xor(col("phash")))
       },
       "shuffle_agg" -> { s =>
-        s.read.parquet(inputPath)
+        rep(s, 8)
           .select(lower(col("caption")).as("caption"), xxhash64(col("bytes")).as("bh"),
             col("image_id"))
           .groupBy("caption", "bh").agg(min(col("image_id")).as("rep"), count(lit(1)))
@@ -58,11 +64,9 @@ object PhaseScalingBench {
         bands.groupBy("band_idx", "band_hash").agg(count(lit(1))).agg(count(lit(1)))
       },
       "decode_psnr" -> { s =>
-        // deterministic ~5% sample; psnr(bytes, bytes) decodes each side —
-        // measures codec throughput with an input set independent of the
-        // core count (no partition-dependent ids)
-        s.read.parquet(inputPath)
-          .where(pmod(xxhash64(col("image_id")), lit(20)) === 0)
+        // psnr(bytes, bytes) decodes each side — measures codec throughput
+        // with an input set independent of the core count
+        rep(s, 2)
           .select(graft.pipeline.ImageDedupPipeline.psnrUdf(
             col("bytes"), col("bytes")).as("p"))
           .agg(count(col("p")))

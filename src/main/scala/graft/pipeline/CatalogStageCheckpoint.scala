@@ -1,0 +1,85 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** How a finished pipeline stage is materialized (checkpoint, catalog
+  * table, or not at all — see ImageDedupPipeline.runDirect). */
+trait StageStore {
+  def stage(name: String)(compute: => DataFrame): DataFrame
+}
+
+/** Catalog-table stage checkpointing through the DataFrameWriterV2 path —
+  * the code a real deployment points at an Iceberg catalog:
+  *
+  * {{{
+  *   spark.sql.catalog.lake = org.apache.iceberg.spark.SparkCatalog
+  *   new CatalogStageCheckpoint(spark, "lake.ck", format = "iceberg")
+  * }}}
+  *
+  * and each completed stage becomes a table whose Iceberg snapshot is the
+  * resume point. No Iceberg runtime jar ships in /opt/spark/jars (documented
+  * env constraint, SURVEY §2 B1/B12), so tests run the IDENTICAL
+  * writeTo / tableExists / read-back flow against the built-in session
+  * catalog with parquet tables — only the catalog name and `format` differ
+  * on a real cluster.
+  *
+  * Stage commit protocol: `writeTo(...).create()` is atomic at the catalog
+  * level (the table only becomes visible complete — Iceberg: one snapshot;
+  * session catalog: metastore entry after files land), so `tableExists` is
+  * the resume predicate and a half-written stage is recomputed. Lineage
+  * metrics land in `<stage>__metrics` tables; the run manifest is itself a
+  * catalog table (`_manifest`), appended once per completed stage.
+  */
+class CatalogStageCheckpoint(spark: SparkSession, namespace: String,
+                             format: String = "parquet",
+                             location: Option[String] = None)
+    extends StageStore {
+
+  private val loc = location.map(l => s" LOCATION '$l'").getOrElse("")
+  spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $namespace$loc")
+
+  private def tbl(name: String): String = s"$namespace.$name"
+  private val manifestTbl = tbl("_manifest")
+
+  def isDone(name: String): Boolean = spark.catalog.tableExists(tbl(name))
+
+  override def stage(name: String)(compute: => DataFrame): DataFrame = {
+    if (isDone(name)) {
+      spark.table(tbl(name))
+    } else {
+      val t0 = System.nanoTime()
+      compute.writeTo(tbl(name)).using(format).create()
+      val out = spark.table(tbl(name))
+      val metrics = out
+        .groupBy(spark_partition_id().cast("long").as("partition_id"))
+        .agg(count(lit(1)).as("rows"))
+        .select(lit(name).as("stage"), col("partition_id"), col("rows"))
+      metrics.writeTo(tbl(s"${name}__metrics")).using(format).create()
+      val rows = out.count()
+      val wallMs = (System.nanoTime() - t0) / 1000000
+      appendManifest(name, rows, wallMs)
+      out
+    }
+  }
+
+  private def appendManifest(name: String, rows: Long, wallMs: Long): Unit = {
+    import spark.implicits._
+    val row = Seq((name, rows, wallMs)).toDF("stage", "rows", "wall_ms")
+    if (spark.catalog.tableExists(manifestTbl)) {
+      // v2 catalogs (Iceberg) append through writeTo; the built-in session
+      // catalog exposes v1 tables, where insertInto is the append path
+      try row.writeTo(manifestTbl).append()
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          row.write.mode("append").insertInto(manifestTbl)
+      }
+    } else row.writeTo(manifestTbl).using(format).create()
+  }
+
+  /** Completed stages in commit order: (stage, rows, wall_ms). */
+  def manifest(): Seq[(String, Long, Long)] =
+    if (!spark.catalog.tableExists(manifestTbl)) Nil
+    else spark.table(manifestTbl).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+}

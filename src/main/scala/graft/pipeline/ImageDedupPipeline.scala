@@ -37,17 +37,11 @@ object ImageDedupPipeline {
   val psnrUdf = udf((a: Array[Byte], b: Array[Byte]) =>
     if (a == null || b == null) 0.0 else ImageCodec.psnr(a, b))
 
-  /** How a finished stage is materialized. */
-  trait Stager {
-    def stage(name: String)(compute: => DataFrame): DataFrame
-  }
-
-  /** Checkpointed run (resumable; each stage a parquet snapshot). */
-  def run(spark: SparkSession, input: DataFrame, checkpoint: StageCheckpoint): DataFrame =
-    runImpl(spark, input, new Stager {
-      def stage(name: String)(compute: => DataFrame): DataFrame =
-        checkpoint.stage(name)(compute)
-    })
+  /** Checkpointed run (resumable): works with any [[StageStore]] — a
+    * parquet-dir [[StageCheckpoint]] or a catalog/Iceberg-path
+    * [[CatalogStageCheckpoint]]. */
+  def run(spark: SparkSession, input: DataFrame, checkpoint: StageStore): DataFrame =
+    runImpl(spark, input, checkpoint)
 
   /** Bench/throughput run: no stage snapshots — multiply-consumed
     * intermediates are lazily localCheckpoint'ed, everything else stays a
@@ -55,13 +49,13 @@ object ImageDedupPipeline {
     * from a table, not a generator). */
   def runDirect(spark: SparkSession, input: DataFrame): DataFrame = {
     val reuse = Set("s0_meta", "s1_reps", "s2_cap_reps", "s2_shingles", "s6_verified_edges")
-    runImpl(spark, input, new Stager {
+    runImpl(spark, input, new StageStore {
       def stage(name: String)(compute: => DataFrame): DataFrame =
         if (reuse(name)) compute.localCheckpoint(false) else compute
     })
   }
 
-  private def runImpl(spark: SparkSession, input: DataFrame, ckpt: Stager): DataFrame = {
+  private def runImpl(spark: SparkSession, input: DataFrame, ckpt: StageStore): DataFrame = {
 
     // ---- stage: project the scan (never carry bytes into the dedup graph)
     val meta = ckpt.stage("s0_meta") {

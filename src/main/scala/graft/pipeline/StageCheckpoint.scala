@@ -24,7 +24,7 @@ import scala.jdk.CollectionConverters._
   * rows) in the manifest line — block-size statistics in the spirit of the
   * reference's BlockEvaluation (SURVEY §2 A17), generalized per stage.
   */
-class StageCheckpoint(spark: SparkSession, baseDir: String) {
+class StageCheckpoint(spark: SparkSession, baseDir: String) extends StageStore {
 
   private val manifestPath = Paths.get(baseDir, "_manifest.jsonl")
   Files.createDirectories(Paths.get(baseDir))
@@ -46,7 +46,7 @@ class StageCheckpoint(spark: SparkSession, baseDir: String) {
   def path(stage: String): String = s"$baseDir/$stage"
 
   /** Run (or resume) a stage: returns the stage's materialized DataFrame. */
-  def stage(name: String)(compute: => DataFrame): DataFrame = {
+  override def stage(name: String)(compute: => DataFrame): DataFrame = {
     if (isDone(name)) {
       spark.read.parquet(path(name))
     } else {

@@ -1,0 +1,73 @@
+package graft.pipeline
+
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import java.nio.file.Files
+
+/** Drives the catalog/Iceberg-path checkpoint against the built-in session
+  * catalog (no Iceberg jar in this sandbox — same writeTo/tableExists code
+  * path, different catalog + format string on a real cluster). */
+class CatalogStageCheckpointSpec extends AnyFlatSpec with Matchers with SparkTestBase {
+  import spark.implicits._
+
+  private def freshNs(tag: String): (String, String) = {
+    val loc = Files.createTempDirectory(s"graft_cat_$tag").toString
+    (s"graft_ck_$tag", loc)
+  }
+
+  "CatalogStageCheckpoint" should "serve a completed stage from the catalog without recompute" in {
+    val (ns, loc) = freshNs("resume")
+    try {
+      var computes = 0
+      def body() = { computes += 1; Seq((1L, "a"), (2L, "b")).toDF("id", "v") }
+
+      val ck1 = new CatalogStageCheckpoint(spark, ns, location = Some(loc))
+      val first = ck1.stage("s_test")(body())
+      first.count() shouldBe 2
+      computes shouldBe 1
+
+      // a NEW checkpoint instance (fresh run) must resume, not recompute
+      val ck2 = new CatalogStageCheckpoint(spark, ns, location = Some(loc))
+      val second = ck2.stage("s_test")(body())
+      computes shouldBe 1
+      second.orderBy("id").collect().map(_.getLong(0)) shouldBe Array(1L, 2L)
+
+      // manifest records the stage once; metrics table exists
+      ck2.manifest().map(_._1) shouldBe Seq("s_test")
+      spark.catalog.tableExists(s"$ns.s_test__metrics") shouldBe true
+      val metricRows = spark.table(s"$ns.s_test__metrics")
+        .agg(sum("rows")).head().getLong(0)
+      metricRows shouldBe 2L
+    } finally spark.sql(s"DROP NAMESPACE IF EXISTS $ns CASCADE")
+  }
+
+  it should "run the full image dedup pipeline with catalog-table stages" in {
+    val (ns, loc) = freshNs("pipe")
+    try {
+      val input = graft.images.SyntheticImages.generate(spark, 300L).toDF()
+        .localCheckpoint()
+      val ck = new CatalogStageCheckpoint(spark, ns, location = Some(loc))
+      val clusters = ImageDedupPipeline.run(spark, input, ck)
+      clusters.count() shouldBe 300L
+
+      // same result as the parquet-checkpoint path
+      val dir = Files.createTempDirectory("graft_pq").toString
+      val pq = ImageDedupPipeline.run(spark, input, new StageCheckpoint(spark, dir))
+      clusters.orderBy("image_id").collect().toSeq shouldBe
+        pq.orderBy("image_id").collect().toSeq
+
+      // every stage is a catalog table; resume run touches no stage body
+      ck.manifest().map(_._1) should contain("s7_clusters")
+      val ck2 = new CatalogStageCheckpoint(spark, ns, location = Some(loc))
+      var recomputed = false
+      val resumed = ck2.stage("s7_clusters") {
+        recomputed = true
+        clusters
+      }
+      recomputed shouldBe false
+      resumed.count() shouldBe 300L
+    } finally spark.sql(s"DROP NAMESPACE IF EXISTS $ns CASCADE")
+  }
+}
