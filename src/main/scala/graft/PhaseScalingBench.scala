@@ -64,11 +64,16 @@ object PhaseScalingBench {
         bands.groupBy("band_idx", "band_hash").agg(count(lit(1))).agg(count(lit(1)))
       },
       "decode_psnr" -> { s =>
-        // psnr(bytes, bytes) decodes each side — measures codec throughput
-        // with an input set independent of the core count
-        rep(s, 2)
+        // pair each image with its successor by the numeric id suffix —
+        // deterministic and core-count-independent; differing bytes force
+        // the full decode path (psnr short-circuits on identical arrays)
+        val img = s.read.parquet(inputPath)
+          .select(expr("cast(substring(image_id, 5) AS bigint)").as("i"),
+            col("bytes"))
+        img.select((col("i") + 1L).as("i"), col("bytes").as("ba"))
+          .join(img.withColumnRenamed("bytes", "bb"), "i")
           .select(graft.pipeline.ImageDedupPipeline.psnrUdf(
-            col("bytes"), col("bytes")).as("p"))
+            col("ba"), col("bb")).as("p"))
           .agg(count(col("p")))
       })
     val selected = if (args.nonEmpty) all.filter(p => args.contains(p._1)) else all

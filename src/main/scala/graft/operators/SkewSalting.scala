@@ -46,20 +46,15 @@ object SkewSalting {
                             verifyCols: Seq[String], cap: Int, fanout: Int): DataFrame = {
     val keys = keyCols.map(col)
     val payload = verifyCols.map(col)
-    // Materialized once (lazily) — reused by the count pass, the cold join
-    // (both sides) and the hot join; without this every consumer recomputes
-    // the whole upstream signature pipeline.
-    val in = df.select(keys ++ payload :+ col(idCol).as("id"): _*).localCheckpoint(false)
-
-    // Hot-bucket detection stays INSIDE the lazy plan (a join against the
-    // per-bucket counts, not a collect+broadcast) — no extra driver action;
-    // AQE broadcasts the tiny hot side on its own when it is small.
-    val hot = in.groupBy(keys: _*).agg(count(lit(1)).as("n"))
-      .where(col("n") > cap)
-      .select(keys :+ lit(true).as("hot"): _*)
-
-    val flagged = in.join(hot, keyCols, "left")
-      .withColumn("hot", coalesce(col("hot"), lit(false)))
+    // Hot-bucket detection as a window count over the bucket key: ONE
+    // shuffle annotates every row with its bucket size (no groupBy+join
+    // pass, no collect+broadcast, no extra driver action). Materialized
+    // once (lazily) — reused by the cold join (both sides) and the hot
+    // join; without this every consumer recomputes the whole upstream
+    // signature pipeline.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys: _*)
+    val flagged = df.select(keys ++ payload :+ col(idCol).as("id"): _*)
+      .withColumn("hot", count(lit(1)).over(w) > cap)
       .localCheckpoint(false)
 
     val cold = flagged.where(!col("hot")).drop("hot")

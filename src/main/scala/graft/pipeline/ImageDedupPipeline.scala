@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.config.GoldenConfig._
 import graft.operators.{MinHashLsh, SkewSalting, SimHashNearDup, TextAnalysis, ConnectedComponents}
 import graft.images.ImageCodec
@@ -48,7 +49,7 @@ object ImageDedupPipeline {
     * lazy plan (recompute-over-store; on a real cluster the input comes
     * from a table, not a generator). */
   def runDirect(spark: SparkSession, input: DataFrame): DataFrame = {
-    val reuse = Set("s0_meta", "s1_reps", "s2_cap_reps", "s2_shingles", "s6_verified_edges")
+    val reuse = Set("s1_annotated", "s2_shingles", "s6_verified_edges")
     runImpl(spark, input, new StageStore {
       def stage(name: String)(compute: => DataFrame): DataFrame =
         if (reuse(name)) compute.localCheckpoint(false) else compute
@@ -57,35 +58,35 @@ object ImageDedupPipeline {
 
   private def runImpl(spark: SparkSession, input: DataFrame, ckpt: StageStore): DataFrame = {
 
-    // ---- stage: project the scan (never carry bytes into the dedup graph)
-    val meta = ckpt.stage("s0_meta") {
+    // ---- stage: ONE windowed annotation pass over the scan — the
+    // exact-dup representative (rep = min id per (caption, bytes_hash),
+    // lossless collapse) and the caption representative (cid = min id per
+    // caption, the 3rd collapse layer: identical captions share identical
+    // signatures/L-grams, so the text paths run on DISTINCT captions only;
+    // a 10k-member viral caption otherwise produces C(10k,2)
+    // identical-signature LSH pairs). Two window mins over ONE exchange:
+    // hash-partitioning on `caption` satisfies the (caption, bytes_hash)
+    // clustering, so Catalyst plans a single shuffle — this replaces the
+    // previous groupBy+join exact-collapse, the caption-collapse groupBy
+    // and the member-map join (3 shuffles + 4 materializations → 1 + 1).
+    // `bytes` never enters the dedup graph (hashed at the door).
+    val annotated = ckpt.stage("s1_annotated") {
+      val wCap = Window.partitionBy("caption")
+      val wGrp = Window.partitionBy("caption", "bytes_hash")
       input.select(col("image_id"), lower(col("caption")).as("caption"),
-        col("phash"), xxhash64(col("bytes")).as("bytes_hash"), col("fmt"))
-    }
-
-    // ---- stage: exact collapse on (caption, bytes_hash) — lossless dedup
-    val reps = ckpt.stage("s1_reps") {
-      meta.groupBy(col("caption"), col("bytes_hash"))
-        .agg(min(col("image_id")).as("image_id"), first(col("phash")).as("phash"))
-        .select("image_id", "caption", "phash", "bytes_hash")
+          col("phash"), xxhash64(col("bytes")).as("bytes_hash"))
+        .withColumn("cid", min("image_id").over(wCap))
+        .withColumn("rep", min("image_id").over(wGrp))
     }
     val starEdges = ckpt.stage("s1_star_edges") {
-      meta.join(reps.select(col("caption"), col("bytes_hash"), col("image_id").as("rep")),
-          Seq("caption", "bytes_hash"))
-        .where(col("image_id") =!= col("rep"))
+      annotated.where(col("image_id") =!= col("rep"))
         .select(col("rep").as("a"), col("image_id").as("b"))
     }
-
-    // ---- caption-level collapse (3rd collapse layer): identical captions
-    // share identical MinHash signatures and L-grams, so the text paths run
-    // on DISTINCT captions only — a 10k-member viral caption otherwise
-    // produces C(10k,2) identical-signature LSH pairs (measured 499,500 at
-    // n=100k), quadratic in corpus size. Caption-level pairs are expanded
-    // back to row pairs through the member tables; caption-EQUAL row pairs
-    // never come from here (they are s5's composite join).
-    val capReps = ckpt.stage("s2_cap_reps") {
-      reps.groupBy(col("caption")).agg(min(col("image_id")).as("cid"))
-    }
+    // exact-dup representatives (one row per (caption, bytes_hash) class)
+    val reps = annotated.where(col("image_id") === col("rep"))
+    // caption representatives (one row per distinct caption)
+    val capReps = annotated.where(col("image_id") === col("cid"))
+      .select(col("cid"), col("caption"))
 
     // shingle-HASH arrays (distinct, sorted longs) + rolling L-gram hashes,
     // both computed ONCE per caption representative — the verify stage
@@ -111,10 +112,9 @@ object ImageDedupPipeline {
     // per caption are tiny once exact/caption-equal classes are collapsed
     // (near-caption pairs between two viral-size captions would inflate
     // this join — the verify ladder's Hamming filter is applied right after,
-    // so nothing survives materialization past this select)
-    val memberMap = reps.join(capReps, "caption")
-      .select(col("cid"), col("image_id"))
-      .localCheckpoint(false) // consumed by both expansions and verify
+    // so nothing survives materialization past this select). A plain
+    // projection of the annotated stage — no join, no extra materialization.
+    val memberMap = reps.select(col("cid"), col("image_id"))
     def expand(capPairs: DataFrame, src: String): DataFrame =
       capPairs
         .join(memberMap.select(col("cid").as("a"), col("image_id").as("ia")), "a")
@@ -216,7 +216,7 @@ object ImageDedupPipeline {
     ckpt.stage("s7_clusters") {
       val edges = verified.select("a", "b").unionByName(starEdges.select("a", "b"))
       ConnectedComponents.run(spark, edges,
-        Some(meta.select(col("image_id").as("id"))))
+        Some(annotated.select(col("image_id").as("id"))))
         .select(col("id").as("image_id"), col("cluster_id"))
     }
   }
