@@ -388,6 +388,17 @@ ORDER BY doc_id, token""",
    GROUP BY x.doc_id, y.doc_id)
 SELECT a, b, dot, na.n2 AS na2, nb.n2 AS nb2
 FROM dots JOIN norms na ON na.doc_id = a JOIN norms nb ON nb.doc_id = b
-ORDER BY a, b"""
+ORDER BY a, b""",
+
+    // embedding near-dup: LSH bucket candidates + exact cosine >= tau
+    // (tau = 0.4: the synthetic embeddings' max pairwise cosine is 0.47)
+    "q36_embedding_near_dup" ->
+      s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+ p AS (SELECT x.vec_id AS a, y.vec_id AS b, x.embedding AS xe, y.embedding AS ye
+   FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+ s AS (SELECT a, b,
+   ${dotSql("xe", "ye")} / sqrt(${dotSql("xe", "xe")}) / sqrt(${dotSql("ye", "ye")}) AS cos
+  FROM p)
+SELECT a AS vec_a, b AS vec_b FROM s WHERE cos >= 0.4 ORDER BY vec_a, vec_b"""
   )
 }

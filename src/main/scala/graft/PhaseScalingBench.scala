@@ -63,18 +63,42 @@ object PhaseScalingBench {
           graft.operators.MinHashLsh.signaturesFromText(caps, "cid", "caption"))
         bands.groupBy("band_idx", "band_hash").agg(count(lit(1))).agg(count(lit(1)))
       },
-      "decode_psnr" -> { s =>
-        // pair each image with its successor by the numeric id suffix —
-        // deterministic and core-count-independent; differing bytes force
-        // the full decode path (psnr short-circuits on identical arrays)
-        val img = s.read.parquet(inputPath)
-          .select(expr("cast(substring(image_id, 5) AS bigint)").as("i"),
-            col("bytes"))
-        img.select((col("i") + 1L).as("i"), col("bytes").as("ba"))
-          .join(img.withColumnRenamed("bytes", "bb"), "i")
-          .select(graft.pipeline.ImageDedupPipeline.psnrUdf(
-            col("ba"), col("bb")).as("p"))
-          .agg(count(col("p")))
+      // two CONTROLS that bracket the host, independent of engine code:
+      // cpu_control is register-only work (a real 4N-core machine scales
+      // it ~1.0); membw_control streams cached columnar buffers and is
+      // bounded by the box's single DRAM system — the ceiling ANY
+      // memory-touching phase inherits when "4N executors" share one
+      // socket instead of 4N nodes' bandwidth
+      "cpu_control" -> { s =>
+        s.range(0L, 12000000000L, 1L, 256)
+          .select(xxhash64(col("id")).as("h"))
+          .agg(bit_xor(col("h")))
+      },
+      "membw_control" -> { s =>
+        val wide = s.range(0L, 20000000L, 1L, 256)
+          .select(col("id"),
+            (col("id") * 3L).as("c1"), (col("id") * 5L).as("c2"),
+            (col("id") * 7L).as("c3"), (col("id") * 11L).as("c4"),
+            (col("id") * 13L).as("c5"), (col("id") * 17L).as("c6"),
+            (col("id") * 19L).as("c7"))
+          .persist()
+        wide.count() // materialize the cache once (excluded via warmup)
+        // scan the cached buffers 16x (~20 GB of memory traffic) so the
+        // measured region is seconds, not fixed job overhead
+        (1 to 16).map(_ => wide).reduce(_.union(_))
+          .agg(sum(col("id") + col("c1") + col("c2") + col("c3")
+            + col("c4") + col("c5") + col("c6") + col("c7")))
+      },
+      "decode_phash" -> { s =>
+        // the verify stage's codec work, measured honestly: decode + pixel
+        // hash of EVERY row (psnr-based variants short-circuit — the
+        // synthetic corpus repeats base images, so most pairs are
+        // byte-identical and skip the decode)
+        val phashUdf = udf((b: Array[Byte]) =>
+          graft.images.ImageCodec.phashOfBytes(b))
+        rep(s, 2)
+          .select(phashUdf(col("bytes")).as("ph"))
+          .agg(bit_xor(col("ph")))
       })
     val selected = if (args.nonEmpty) all.filter(p => args.contains(p._1)) else all
 
@@ -104,14 +128,18 @@ object PhaseScalingBench {
   }
 
   private def session(cores: Int): SparkSession = {
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-phase-$cores")
       .config("spark.sql.shuffle.partitions", (cores * 4).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // optional: put shuffle/spill files on a tmpfs (A/B the single local
+    // disk out of the shuffle path — a cluster has one disk per node)
+    sys.env.get("GRAFT_BENCH_LOCALDIR").foreach(d =>
+      builder.config("spark.local.dir", d))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -219,6 +219,14 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** Embedding-cosine near-dup pairs (bucketed candidates + exact cosine
+    * threshold; τ pinned to 0.4 for the synthetic embeddings — their max
+    * pairwise cosine is 0.47, so a production-like 0.95 matches nothing). */
+  def embeddingNearDup(s: SparkSession, dir: String): DataFrame =
+    AnnSearch.nearDupPairs(vecs(s, dir), tau = 0.4)
+      .select(col("a").as("vec_a"), col("b").as("vec_b"))
+      .orderBy("vec_a", "vec_b")
+
   // ---- relational operators (reference A-rows over TPC-H-ish tables) -------
 
   def aggPricing(s: SparkSession, dir: String): DataFrame =

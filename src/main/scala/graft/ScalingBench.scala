@@ -97,7 +97,7 @@ object ScalingBench {
     // steal-delayed straggler extends every stage barrier; smaller tasks
     // level it (same ratio at both sizes keeps the comparison fair)
     val partsPerCore = sys.env.getOrElse("GRAFT_BENCH_PARTS_PER_CORE", "4").toInt
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-scaling-$cores")
       .config("spark.sql.shuffle.partitions", (cores * partsPerCore).toString)
@@ -105,7 +105,18 @@ object ScalingBench {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // optional memory-system experiments (A/B via env, default off):
+    // off-heap execution memory takes shuffle/sort/hash buffers out of the
+    // GC'd heap — the lever for the GC inflation seen at 4N threads
+    sys.env.get("GRAFT_BENCH_OFFHEAP").foreach { size =>
+      builder.config("spark.memory.offHeap.enabled", "true")
+        .config("spark.memory.offHeap.size", size)
+    }
+    // optional: shuffle/spill files on a tmpfs (a cluster has one local
+    // disk PER NODE; on one box all threads share one disk)
+    sys.env.get("GRAFT_BENCH_LOCALDIR").foreach(d =>
+      builder.config("spark.local.dir", d))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -45,7 +45,8 @@ object SparkEntry {
     "q32_version_history" -> (Queries.versionHistory(_, _)),
     "q33_wordcount_stemmed" -> (Queries.wordCountStemmed(_, _)),
     "q34_tfidf"          -> (Queries.tfidfVectors(_, _)),
-    "q35_tfidf_cosine"   -> (Queries.tfidfCosine(_, _))
+    "q35_tfidf_cosine"   -> (Queries.tfidfCosine(_, _)),
+    "q36_embedding_near_dup" -> (Queries.embeddingNearDup(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -67,6 +67,26 @@ object AnnSearch {
         acc * 2L + when(projection(col("vec"), h) > 0.0, lit(1L)).otherwise(lit(0L)))
         .as("bucket"))
 
+  /** Embedding-cosine near-duplicate pairs: LSH bucket self-join generates
+    * candidates (never all-pairs), exact cosine ≥ tau verifies. The scale
+    * shape of embedding dedup: one equi-join on the bucket id; recall is
+    * governed by `planes` (all sign bits must agree — band over multiple
+    * bucket tables for higher recall, same as MinHash LSH banding). */
+  def nearDupPairs(corpus: DataFrame, tau: Double,
+                   planes: Int = AnnHyperplanes): DataFrame = {
+    val b = lshBuckets(corpus, planes)
+    val cand = b.select(col("bucket"), col("id").as("a"))
+      .join(b.select(col("bucket"), col("id").as("b")), "bucket")
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val v = corpus.select(col("id"), col("vec"))
+    cand
+      .join(v.select(col("id").as("a"), col("vec").as("va")), "a")
+      .join(v.select(col("id").as("b"), col("vec").as("vb")), "b")
+      .where(cosine(col("va"), col("vb")) >= tau)
+      .select(col("a"), col("b"))
+  }
+
   /** ANN via LSH buckets: candidates from bucket join, exact cosine top-k
     * re-rank within candidates. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = AnnTopK,

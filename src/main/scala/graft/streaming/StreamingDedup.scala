@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.functions.GraftExpressions
 
 /** Structured Streaming dedup operators.
@@ -40,6 +41,53 @@ object StreamingDedup {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
       .drop("fp")
+
+  /** One LSH band-bucket row of the arriving stream. */
+  private[streaming] case class BandRow(band_idx: Long, band_hash: Long, id: String)
+
+  /** Stateful WITHIN-stream near-dup detection: arriving docs are MinHash-
+    * banded; per band bucket a `GroupState` remembers the ids seen so far
+    * (custom state via `flatMapGroupsWithState` — the KeyValueGroupedDataset
+    * state path), and an arrival colliding with remembered ids emits one
+    * (a, b) row per collision. Downstream exact verification is the batch
+    * engine's verify ladder, same as the static-corpus variant.
+    *
+    * State is bounded twice: a processing-time timeout evicts idle buckets,
+    * and `maxPerBucket` caps the remembered ids per bucket (the streaming
+    * analog of the salting cap — a viral bucket emits pairs against the
+    * first `maxPerBucket` members instead of growing state quadratically). */
+  def nearDupWithinStream(stream: DataFrame, idCol: String, textCol: String,
+                          maxPerBucket: Int = 64,
+                          stateTimeout: String = "30 minutes"): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val bands = graft.operators.MinHashLsh.bands(
+        graft.operators.MinHashLsh.signaturesFromText(stream, idCol, textCol))
+      .select(col("band_idx"), col("band_hash"), col("id").cast("string").as("id"))
+      .as[BandRow]
+    bands
+      .groupByKey(r => (r.band_idx, r.band_hash))
+      .flatMapGroupsWithState[Seq[String], (String, String)](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (_: (Long, Long), rows: Iterator[BandRow], state: GroupState[Seq[String]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var seen = state.getOption.getOrElse(Seq.empty)
+            val out = Seq.newBuilder[(String, String)]
+            rows.foreach { r =>
+              if (!seen.contains(r.id)) {
+                seen.foreach(s =>
+                  out += (if (s < r.id) (s, r.id) else (r.id, s)))
+                if (seen.size < maxPerBucket) seen = seen :+ r.id
+              }
+            }
+            state.update(seen)
+            state.setTimeoutDuration(stateTimeout)
+            out.result().iterator
+          }
+      }
+      .toDF("a", "b")
+  }
 
   /** Streams LSH band collisions of arriving docs against a static corpus
     * band table (columns: id, band_idx, band_hash) — the streaming front

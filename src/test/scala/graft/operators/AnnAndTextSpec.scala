@@ -35,6 +35,19 @@ class AnnAndTextSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     again shouldBe b
   }
 
+  "nearDupPairs" should "pair near-identical vectors and skip distant bucket-mates" in {
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(1.0f, 0.0f, 0.0f)),      // identical to 0 → same bucket, cos 1
+      (2L, Seq(0.99f, 0.01f, 0.0f)),    // near-dup of 0
+      (3L, Seq(-1.0f, 0.0f, 0.0f))      // opposite → different bucket
+    ).toDF("id", "vec")
+    val got = AnnSearch.nearDupPairs(corpus, tau = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got should contain((0L, 1L))
+    got.foreach { case (a, b) => Set(a, b) should not contain 3L }
+  }
+
   "lshTopK" should "return the true nearest when buckets collide (identical vectors)" in {
     val out = AnnSearch.lshTopK(vecDf, vecDf.where(col("id") === 0L), k = 3)
       .collect().map(r => r.getLong(2))

@@ -65,6 +65,35 @@ class StreamingDedupSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     } finally q.stop()
   }
 
+  "nearDupWithinStream" should "pair colliding arrivals and remember state across batches" in {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingDedup.nearDupWithinStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = out.writeStream.format("memory").queryName("snds_out")
+      .outputMode(OutputMode.Append()).start()
+    // NOTE: processAllAvailable() can block forever on a
+    // ProcessingTimeTimeout stateful query (timeout checks keep batches
+    // flowing), so assertions poll with a deadline instead.
+    def pairsSeen(): Set[(String, String)] =
+      spark.table("snds_out").select("a", "b").distinct()
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    def awaitPair(p: (String, String), deadlineMs: Long = 60000): Unit = {
+      val t0 = System.currentTimeMillis()
+      while (!pairsSeen().contains(p)
+        && System.currentTimeMillis() - t0 < deadlineMs) Thread.sleep(300)
+    }
+    try {
+      mem.addData((1L, longText), (3L, "totally unrelated words that never collide at all"))
+      // second batch: near-identical doc must pair with doc 1 remembered in state
+      mem.addData((2L, longText + " extra"))
+      awaitPair(("1", "2"))
+      val pairs = pairsSeen()
+      pairs should contain(("1", "2"))
+      pairs.foreach { case (a, b) => Set(a, b) should not contain "3" }
+    } finally q.stop()
+  }
+
   "nearDupAgainstCorpus" should "flag band collisions against a static corpus" in {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq((100L, longText)).toDF("doc_id", "text")
