@@ -17,7 +17,8 @@ import graft.pipeline.ImageDedupPipeline
   * run gets a fresh SparkSession with shuffle partitions = cores.
   *
   * Usage: GRAFT_BENCH_N=300000 sbt "runMain graft.ScalingBench"
-  * Writes BENCH_SCALING.md and prints one JSON line.
+  * Writes BENCH_SCALING_RUN.md (raw table of THIS run — the curated
+  * multi-run evidence lives in BENCH_SCALING.md) and prints one JSON line.
   */
 object ScalingBench {
 
@@ -89,7 +90,7 @@ object ScalingBench {
       md.append(f"| local[${r.cores}] | ${r.cores} | ${r.wallSec}%.1f | ${r.imagesPerSec}%.0f | ${r.recall}%.4f |\n")
     }
     md.append(f"\nScaling efficiency (T_N·N)/(T_4N·4N) = $efficiency%.3f (target ≥ 0.8)\n")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SCALING.md"), md.toString)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SCALING_RUN.md"), md.toString)
   }
 
   private def session(cores: Int): SparkSession = {
