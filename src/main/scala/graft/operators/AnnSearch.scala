@@ -79,11 +79,14 @@ object AnnSearch {
       .join(b.select(col("bucket"), col("id").as("b")), "bucket")
       .where(col("a") < col("b"))
       .select("a", "b").distinct()
-    val v = corpus.select(col("id"), col("vec"))
+    // norms once per VECTOR, not per pair (at 10^12 scale a vector sits in
+    // many pairs); dividing dot by the two norms in the same order keeps
+    // the doubles bit-identical to the inline cosine / the oracle
+    val v = corpus.select(col("id"), col("vec"), norm(col("vec")).as("nrm"))
     cand
-      .join(v.select(col("id").as("a"), col("vec").as("va")), "a")
-      .join(v.select(col("id").as("b"), col("vec").as("vb")), "b")
-      .where(cosine(col("va"), col("vb")) >= tau)
+      .join(v.select(col("id").as("a"), col("vec").as("va"), col("nrm").as("na")), "a")
+      .join(v.select(col("id").as("b"), col("vec").as("vb"), col("nrm").as("nb")), "b")
+      .where(dot(col("va"), col("vb")) / col("na") / col("nb") >= tau)
       .select(col("a"), col("b"))
   }
 
@@ -93,13 +96,18 @@ object AnnSearch {
               planes: Int = AnnHyperplanes): DataFrame = {
     val cb = lshBuckets(corpus, planes).withColumnRenamed("id", "neighbor_id")
     val qb = lshBuckets(queries, planes).withColumnRenamed("id", "query_id")
-    val qv = queries.select(col("id").as("query_id"), col("vec").as("qv"))
-    val cv = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"))
+    // norms once per vector (same division order as the inline cosine —
+    // bit-identical doubles, fewer flops per candidate)
+    val qv = queries.select(col("id").as("query_id"), col("vec").as("qv"),
+      norm(col("vec")).as("qn"))
+    val cv = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"),
+      norm(col("vec")).as("cn"))
     val cand = qb.join(cb, "bucket")
       .where(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
     val scored = cand.join(broadcast(qv), "query_id").join(cv, "neighbor_id")
-      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / col("qn") / col("cn")).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
