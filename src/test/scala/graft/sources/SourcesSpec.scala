@@ -47,6 +47,24 @@ class SourcesSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     rows(1)._4 should include("Multi-line body.")
   }
 
+  "WikipediaXml pages" should "feed the dedup engine end to end" in {
+    val run = "one two three four five six seven eight nine ten eleven twelve"
+    val dump =
+      s"""<mediawiki>
+         |<page><title>A</title><ns>0</ns><id>1</id><revision><text>$run same ending here</text></revision></page>
+         |<page><title>B</title><ns>0</ns><id>2</id><revision><text>$run same ending now</text></revision></page>
+         |<page><title>C</title><ns>0</ns><id>3</id><revision><text>nothing shared with the others at all whatsoever</text></revision></page>
+         |</mediawiki>""".stripMargin
+    val path = write("dedup_dump.xml", dump)
+    val pages = WikipediaXml.pages(spark, path)
+    val edges = graft.operators.MinHashLsh.dedupEdges(pages, "page_id", "text")
+    val clusters = graft.operators.ConnectedComponents.run(spark, edges,
+      Some(pages.select(org.apache.spark.sql.functions.col("page_id").as("id"))))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    clusters(1L) shouldBe clusters(2L)
+    clusters(3L) should not be clusters(1L)
+  }
+
   "WikidataJson" should "parse entities from an array dump with explicit schema" in {
     val dump =
       """[
