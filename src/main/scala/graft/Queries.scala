@@ -183,15 +183,16 @@ object Queries {
   }
 
   /** All five reference blocking schemes (A37) over part, as
-    * (scheme, bkey, block_size). */
+    * (scheme, bkey, block_size) — ONE scan for all schemes. */
   def blockingSchemes(s: SparkSession, dir: String): DataFrame = {
     val p = tbl(s, dir, "part")
-    BlockingSchemes.blockingStats(p, Seq(
-      "simple" -> BlockingSchemes.simpleKey(col("p_name")),
-      "last_letters" -> BlockingSchemes.lastLettersKey(col("p_name")),
-      "list_token" -> explode(BlockingSchemes.tokenKeys(col("p_name"))),
-      "grid" -> BlockingSchemes.gridKey(col("p_retailprice"), 100.0),
-      "random" -> BlockingSchemes.randomKey(col("p_partkey"))))
+    BlockingSchemes.blockingStatsOneScan(p,
+      scalar = Seq(
+        "simple" -> BlockingSchemes.simpleKey(col("p_name")),
+        "last_letters" -> BlockingSchemes.lastLettersKey(col("p_name")),
+        "grid" -> BlockingSchemes.gridKey(col("p_retailprice"), 100.0),
+        "random" -> BlockingSchemes.randomKey(col("p_partkey"))),
+      list = Seq("list_token" -> BlockingSchemes.tokenKeys(col("p_name"))))
       .orderBy("scheme", "bkey")
   }
 

@@ -47,11 +47,30 @@ object BlockingSchemes {
     (pmod(lit(LcgMul) * id + lit(LcgAddA), lit(P)) % buckets).cast("string")
 
   /** (scheme, bkey, block_size) for a set of named key expressions. For
-    * list schemes pass `explode(tokenKeys(...))` — one key per token. */
+    * list schemes pass `explode(tokenKeys(...))` — one key per token.
+    * Scans the input once per scheme; prefer [[blockingStatsOneScan]] when
+    * the input is large. */
   def blockingStats(df: DataFrame, schemes: Seq[(String, Column)]): DataFrame =
     schemes.map { case (name, key) =>
       df.select(key.as("bkey"))
         .groupBy(col("bkey")).agg(count(lit(1)).as("block_size"))
         .select(lit(name).as("scheme"), col("bkey"), col("block_size"))
     }.reduce(_.unionByName(_))
+
+  /** Same output as [[blockingStats]], ONE scan: every scheme's keys are
+    * packed into one (scheme, bkey) struct array per row and exploded —
+    * at 100 TB the input is read once instead of once per scheme.
+    * `scalar` schemes yield one key per row; `list` schemes an array. */
+  def blockingStatsOneScan(df: DataFrame,
+                           scalar: Seq[(String, Column)],
+                           list: Seq[(String, Column)] = Nil): DataFrame = {
+    val scalarArr = array(scalar.map { case (n, k) =>
+      struct(lit(n).as("scheme"), k.cast("string").as("bkey")) }: _*)
+    val listArrs = list.map { case (n, ks) =>
+      transform(ks, k => struct(lit(n).as("scheme"), k.cast("string").as("bkey"))) }
+    val all = (scalarArr +: listArrs).reduce(concat(_, _))
+    df.select(explode(all).as("sk"))
+      .select(col("sk.scheme").as("scheme"), col("sk.bkey").as("bkey"))
+      .groupBy("scheme", "bkey").agg(count(lit(1)).as("block_size"))
+  }
 }

@@ -53,6 +53,19 @@ class BlockingSchemesSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     all(k1.map(_.toInt)) should (be >= 0 and be < 100)
   }
 
+  "blockingStatsOneScan" should "equal the per-scheme variant" in {
+    val scalar = Seq(
+      "simple" -> BlockingSchemes.simpleKey(col("name")),
+      "grid" -> BlockingSchemes.gridKey(col("price"), 100.0))
+    val list = Seq("list_token" -> BlockingSchemes.tokenKeys(col("name")))
+    val perScheme = BlockingSchemes.blockingStats(names,
+      scalar :+ ("list_token" -> explode(BlockingSchemes.tokenKeys(col("name")))))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val oneScan = BlockingSchemes.blockingStatsOneScan(names, scalar, list)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    oneScan shouldBe perScheme
+  }
+
   "blockingStats" should "aggregate (scheme, bkey, block_size) across schemes" in {
     val stats = BlockingSchemes.blockingStats(names, Seq(
       "simple" -> BlockingSchemes.simpleKey(col("name")),
