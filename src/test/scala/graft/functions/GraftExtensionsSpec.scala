@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+import graft.SparkTestBase
+import graft.config.GoldenConfig
+
+class GraftExtensionsSpec extends AnyFlatSpec with Matchers with SparkTestBase {
+
+  "GraftExtensions.register" should "expose the kernels as SQL functions" in {
+    GraftExtensions.register(spark)
+    spark.sql("SELECT graft_str_hash('abc') AS h").head().getLong(0) shouldBe 96354L
+    val sig = spark.sql(
+      "SELECT graft_minhash_shingles(split('one two three four', ' ')) AS sig")
+      .head().getSeq[Long](0)
+    sig should have length GoldenConfig.NumHashes
+    // SQL path must equal the Column-API path exactly
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val viaColumn = Seq("one two three four").toDF("t")
+      .select(GraftExpressions.minhashShingles(
+        graft.functions.TextHash.tokens(col("t")), GoldenConfig.ShingleK))
+      .head().getSeq[Long](0)
+    sig shouldBe viaColumn
+  }
+
+  it should "register gram and shingle hash functions consistently" in {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_shingle_hashes(split('a b c d e', ' ')) AS sh,
+                graft_gram_hashes(split('a b c d e f g h i', ' ')) AS gh""").head()
+    r.getSeq[Long](0) should not be empty
+    r.getSeq[Long](1) should have length 2 // 9 tokens, l=8 → 2 windows
+  }
+
+  "the extensions class" should "inject the same functions via SparkSessionExtensions" in {
+    // the injection path is exercised directly against an extensions object
+    // (a second SparkSession in one JVM would just return the shared one)
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    // registry construction must not throw and must carry all functions
+    GraftExtensions.functions.map(_._1).toSet shouldBe Set(
+      "graft_str_hash", "graft_minhash", "graft_minhash_shingles",
+      "graft_shingle_hashes", "graft_gram_hashes")
+  }
+}
