@@ -95,7 +95,63 @@ case class ShingleHashesExpr(child: Expression, k: Int)
   override def prettyName: String = "graft_shingle_hashes"
 }
 
+/** dot_f(array<float>, array<float>) → double, left-fold order. */
+case class DotFExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  // contract: both children are array<float> (the engine's embedding type;
+  // AbstractDataType is private[sql], so the check is an analysis-time
+  // require instead of ExpectsInputTypes)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_dot_f expects array<float> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.HashKernels.dotF($a, $b);")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DotFExpr = copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_dot_f"
+}
+
+/** hyperplane_bucket(array<float>, planes) → long LSH bucket id. */
+case class HyperplaneBucketExpr(child: Expression, planes: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_hyperplane_bucket expects array<float>, got $other")
+    }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.hyperplaneBucket(input.asInstanceOf[ArrayData], planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.hyperplaneBucket($c, $planes);")
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_hyperplane_bucket"
+}
+
 object GraftExpressions {
+  /** Compiled left-fold dot product of two float-array columns. */
+  def dotF(a: Column, b: Column): Column =
+    Bridge.column(DotFExpr(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Compiled random-hyperplane LSH bucket of a float-array column. */
+  def hyperplaneBucket(vec: Column, planes: Int): Column =
+    Bridge.column(HyperplaneBucketExpr(Bridge.expression(vec), planes))
+
   /** Rolling l-gram hashes over a token array (window fold of token
     * hashes — the substring-pass candidate key). */
   def gramHashes(tokens: Column, l: Int): Column =

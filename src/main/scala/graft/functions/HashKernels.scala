@@ -149,6 +149,45 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** Left-fold dot product of two float arrays as double — EXACTLY the
+    * fold order of aggregate(zip_with(a, b, _*_), 0.0, _+_) and the DuckDB
+    * oracle's list_reduce, so results are bit-identical; compiled loop
+    * instead of an interpreted higher-order-function tree. Extra elements
+    * of the longer array are ignored (zip semantics). */
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  /** Random-hyperplane LSH bucket of a float vector (Charikar'02),
+    * bit-identical to the built-in formulation in AnnSearch/the oracle:
+    * plane h's weight for dim i is ((LcgMul*(h*1024+i)+LcgAddA) mod P
+    * mod 2)*2-1, projection is a left-fold double sum, and the bucket
+    * folds sign bits from plane planes-1 down to 0 as acc*2+bit. */
+  def hyperplaneBucket(vec: ArrayData, planes: Int): Long = {
+    val n = vec.numElements()
+    var bucket = 0L
+    var h = planes - 1
+    while (h >= 0) {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val sign = (LcgMul * (h * 1024L + i) + LcgAddA) % P % 2L * 2L - 1L
+        acc += vec.getFloat(i).toDouble * sign.toDouble
+        i += 1
+      }
+      bucket = bucket * 2L + (if (acc > 0.0) 1L else 0L)
+      h -= 1
+    }
+    bucket
+  }
+
   /** Batched MinHash over an array of shingle strings: hashes each shingle
     * once, updates all n mins in one pass. Returns null for empty input
     * (callers filter empties; mirrors array_min(empty) = null). */

@@ -22,8 +22,16 @@ import graft.config.GoldenConfig._
   */
 object AnnSearch {
 
-  /** Left-fold sum of element products as double — order-pinned. */
+  /** Left-fold sum of element products as double — order-pinned. Compiled
+    * kernel (DotFExpr); bit-identical to [[dotBuiltin]] / the oracle's
+    * list_reduce (unit-tested). array<float> columns only — the engine's
+    * embedding contract. */
   def dot(a: Column, b: Column): Column =
+    graft.functions.GraftExpressions.dotF(a, b)
+
+  /** Built-in-expression formulation of [[dot]] — the oracle mirror; kept
+    * for the kernel-parity spec. Interpreted (HOFs don't codegen). */
+  private[operators] def dotBuiltin(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
@@ -60,8 +68,16 @@ object AnnSearch {
       lit(0.0), (a, v) => a + v)
 
   /** (id, bucket): random-hyperplane LSH bucket id in [0, 2^planes) —
-    * bucket = fold over planes (high→low) of acc*2 + signBit. */
+    * bucket = fold over planes (high→low) of acc*2 + signBit. Compiled
+    * kernel; bit-identical to [[lshBucketsBuiltin]] / the oracle. */
   def lshBuckets(corpus: DataFrame, planes: Int = AnnHyperplanes): DataFrame =
+    corpus.select(col("id"),
+      graft.functions.GraftExpressions.hyperplaneBucket(col("vec"), planes).as("bucket"))
+
+  /** Built-in-expression formulation of [[lshBuckets]] — the oracle
+    * mirror; kept for the kernel-parity spec. */
+  private[operators] def lshBucketsBuiltin(corpus: DataFrame,
+                                           planes: Int = AnnHyperplanes): DataFrame =
     corpus.select(col("id"),
       aggregate(sequence(lit(planes - 1L), lit(0L)), lit(0L), (acc, h) =>
         acc * 2L + when(projection(col("vec"), h) > 0.0, lit(1L)).otherwise(lit(0L)))

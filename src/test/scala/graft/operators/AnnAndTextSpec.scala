@@ -35,6 +35,23 @@ class AnnAndTextSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     again shouldBe b
   }
 
+  "ANN kernels" should "be bit-identical to the builtin oracle-mirror formulations on real embeddings" in {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    // buckets: kernel vs builtin
+    val kb = AnnSearch.lshBuckets(emb).withColumnRenamed("bucket", "kb")
+    val bb = AnnSearch.lshBucketsBuiltin(emb).withColumnRenamed("bucket", "bb")
+    kb.join(bb, "id").where(col("kb") =!= col("bb")).count() shouldBe 0L
+    // dot: kernel vs builtin, bitwise on the double
+    val pairs = emb.limit(20).select(col("id").as("a"), col("vec").as("va"))
+      .crossJoin(emb.limit(20).select(col("id").as("b"), col("vec").as("vb")))
+    val diff = pairs.select(
+        AnnSearch.dot(col("va"), col("vb")).as("k"),
+        AnnSearch.dotBuiltin(col("va"), col("vb")).as("s"))
+      .where(col("k") =!= col("s")).count()
+    diff shouldBe 0L
+  }
+
   "nearDupPairs" should "pair near-identical vectors and skip distant bucket-mates" in {
     val corpus = Seq(
       (0L, Seq(1.0f, 0.0f, 0.0f)),
