@@ -49,7 +49,18 @@ object GraftExtensions {
       (args: Seq[Expression]) => ShingleHashesExpr(one(args, "graft_shingle_hashes"), ShingleK)),
     ("graft_gram_hashes",
       info("graft_gram_hashes", s"rolling $SubstringL-gram window hashes of array<string> tokens"),
-      (args: Seq[Expression]) => GramHashesExpr(one(args, "graft_gram_hashes"), SubstringL)))
+      (args: Seq[Expression]) => GramHashesExpr(one(args, "graft_gram_hashes"), SubstringL)),
+    ("graft_dot_f",
+      info("graft_dot_f", "left-fold dot product of two array<float> embeddings"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_dot_f expects exactly 2 arguments")
+        DotFExpr(args(0), args(1))
+      }),
+    ("graft_hyperplane_bucket",
+      info("graft_hyperplane_bucket",
+        s"${graft.config.GoldenConfig.AnnHyperplanes}-plane LSH bucket of an array<float> embedding"),
+      (args: Seq[Expression]) => HyperplaneBucketExpr(
+        one(args, "graft_hyperplane_bucket"), graft.config.GoldenConfig.AnnHyperplanes)))
 
   /** Register the functions into an already-running session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

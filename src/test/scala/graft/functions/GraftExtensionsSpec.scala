@@ -41,6 +41,18 @@ class GraftExtensionsSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     // registry construction must not throw and must carry all functions
     GraftExtensions.functions.map(_._1).toSet shouldBe Set(
       "graft_str_hash", "graft_minhash", "graft_minhash_shingles",
-      "graft_shingle_hashes", "graft_gram_hashes")
+      "graft_shingle_hashes", "graft_gram_hashes",
+      "graft_dot_f", "graft_hyperplane_bucket")
+  }
+
+  it should "expose the ANN kernels in SQL" in {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_dot_f(array(CAST(1.0 AS float), CAST(2.0 AS float)),
+                            array(CAST(3.0 AS float), CAST(4.0 AS float))) AS d,
+                graft_hyperplane_bucket(array(CAST(0.5 AS float), CAST(-0.25 AS float))) AS b""")
+      .head()
+    r.getDouble(0) shouldBe 11.0
+    r.getLong(1) should (be >= 0L and be < (1L << graft.config.GoldenConfig.AnnHyperplanes))
   }
 }
