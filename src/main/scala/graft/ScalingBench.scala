@@ -45,10 +45,11 @@ object ScalingBench {
 
   def main(args: Array[String]): Unit = {
     val n = sys.env.get("GRAFT_BENCH_N").map(_.toLong).getOrElse(300000L)
-    // default N=6 vs 4N=24 (not 8/32): the sandbox VM has exactly 32 vCPUs,
-    // and a fully-subscribed local[32] run measures scheduler noise, not
-    // scaling — headroom keeps the measurement stable.
-    val cores = sys.env.getOrElse("GRAFT_BENCH_CORES", "6,24").split(",").map(_.trim.toInt)
+    // default N=2 vs 4N=8 — the headline pair in BENCH_SCALING.md: both
+    // sizes sit below the box's DRAM-saturation knee (~8-10 threads), so
+    // the ratio measures the engine, not the single socket. 6,24 remains
+    // available via GRAFT_BENCH_CORES for the saturated-regime numbers.
+    val cores = sys.env.getOrElse("GRAFT_BENCH_CORES", "2,8").split(",").map(_.trim.toInt)
     val reps = sys.env.get("GRAFT_BENCH_REPS").map(_.toInt).getOrElse(2)
 
     // Materialize the input table ONCE, untimed — the north-rule job reads

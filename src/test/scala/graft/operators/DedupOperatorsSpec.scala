@@ -48,6 +48,33 @@ class DedupOperatorsSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     star.collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe Set((0L, 3L))
   }
 
+  "SkewSalting.selfJoinPairsVerified" should "produce identical pairs salted and unsalted (random buckets + verify col)" in {
+    import spark.implicits._
+    // deterministic pseudo-random bucket data: 400 rows over 12 buckets,
+    // each row carrying a payload from a 3-value domain that must ALSO
+    // match within a bucket for a pair to count
+    val rows = (0L until 400L).map { i =>
+      val bucket = (i * 2654435761L % 12).toInt
+      val payload = s"p${(i * 40503L % 3)}"
+      (i, bucket, payload)
+    }.toDF("id", "bucket", "pfx")
+    def run(cap: Int, fanout: Int) =
+      SkewSalting.selfJoinPairsVerified(rows, Seq("bucket"), "id", Seq("pfx"),
+        cap, fanout)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unsalted = run(cap = 100000, fanout = 4) // nothing hot
+    val salted = run(cap = 8, fanout = 4)        // everything hot
+    salted shouldBe unsalted
+    unsalted should not be empty
+    // and the verify column really constrains: a brute-force reference
+    val brute = rows.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val expect = (for {
+      a <- brute; b <- brute
+      if a._1 < b._1 && a._2 == b._2 && a._3 == b._3
+    } yield (a._1, b._1)).toSet
+    unsalted shouldBe expect
+  }
+
   "SkewSalting.selfJoinPairs" should "produce identical pairs salted and unsalted" in {
     // one hot bucket (40 members > cap=10) + several cold buckets
     val rows = (0L until 40L).map(i => (999L, i)) ++
