@@ -28,11 +28,17 @@ object PhaseScalingBench {
     val n = sys.env.get("GRAFT_BENCH_N").map(_.toLong).getOrElse(300000L)
     val cores = sys.env.getOrElse("GRAFT_BENCH_CORES", "6,24").split(",").map(_.trim.toInt)
     val reps = sys.env.get("GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
-    val inputPath = s"/tmp/graft_scaling_input_$n"
+    // GRAFT_BENCH_CODEC (default snappy): parquet codec of the input —
+    // uncompressed trades page-cache bytes for zero decompress CPU, an A/B
+    // for how much of the scan phase is snappy
+    val codec = sys.env.getOrElse("GRAFT_BENCH_CODEC", "snappy")
+    val inputPath =
+      if (codec == "snappy") s"/tmp/graft_scaling_input_$n"
+      else s"/tmp/graft_scaling_input_${n}_$codec"
     if (!new java.io.File(s"$inputPath/_SUCCESS").exists()) {
       val s = session(cores.max)
       try graft.images.SyntheticImages.generate(s, n).toDF()
-        .write.mode("overwrite").parquet(inputPath)
+        .write.mode("overwrite").option("compression", codec).parquet(inputPath)
       finally s.stop()
     }
 

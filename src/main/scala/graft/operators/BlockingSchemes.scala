@@ -57,6 +57,20 @@ object BlockingSchemes {
         .select(lit(name).as("scheme"), col("bkey"), col("block_size"))
     }.reduce(_.unionByName(_))
 
+  /** Materialized blocks (SURVEY §2 A16 — the reference's Block(key,
+    * members) shape). The dedup hot path deliberately NEVER materializes
+    * blocks (flat equi-joins keep nothing O(block) in memory); this exists
+    * for reference API parity and block inspection. Members are sorted and
+    * CAPPED at `maxMembers` per block to bound row size — the capped-keep
+    * analog of the reference's recall-losing maxBlockSize drop (block_size
+    * still reports the true size). */
+  def groupBlocks(df: DataFrame, keyCol: Column, idCol: Column,
+                  maxMembers: Int = 10000): DataFrame =
+    df.select(keyCol.as("bkey"), idCol.as("member"))
+      .groupBy(col("bkey"))
+      .agg(count(lit(1)).as("block_size"),
+        slice(sort_array(collect_list(col("member"))), 1, maxMembers).as("members"))
+
   /** Same output as [[blockingStats]], ONE scan: every scheme's keys are
     * packed into one (scheme, bkey) struct array per row and exploded —
     * at 100 TB the input is read once instead of once per scheme.

@@ -53,6 +53,18 @@ object MinHashLsh {
         graft.functions.GraftExpressions.minhashShingles(tokens(col(textCol)), k, n).as("sig"))
       .where(col("sig").isNotNull)
 
+  /** Banding parameters (b, r) with b·r = n whose LSH collision threshold
+    * (1/b)^(1/r) is closest to `tau` — the principled replacement for the
+    * reference's hand-chosen blocking schemes (tune b,r to the similarity
+    * you care about instead of guessing key functions). */
+  def bandingFor(tau: Double, n: Int = NumHashes): (Int, Int) = {
+    require(tau > 0.0 && tau < 1.0, "tau must be in (0, 1)")
+    val candidates = (1 to n).filter(n % _ == 0).map(b => (b, n / b))
+    candidates.minBy { case (b, r) =>
+      math.abs(math.pow(1.0 / b, 1.0 / r) - tau)
+    }
+  }
+
   /** (id, sig) → (id, band_idx, band_hash) — one row per band. */
   def bands(sig: DataFrame, b: Int = Bands, r: Int = RowsPerBand): DataFrame =
     sig.select(col("id"), explode(bandHashes(col("sig"), b, r)).as("band"))

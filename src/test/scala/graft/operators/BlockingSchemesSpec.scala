@@ -66,6 +66,24 @@ class BlockingSchemesSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     oneScan shouldBe perScheme
   }
 
+  "groupBlocks" should "materialize sorted capped members with true block_size" in {
+    val blocks = BlockingSchemes.groupBlocks(names,
+      BlockingSchemes.simpleKey(col("name")), col("id"), maxMembers = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2))).sortBy(_._1)
+    blocks shouldBe Array(
+      ("aud", 2L, Seq(1L)),  // capped at 1 member, true size 2
+      ("bmw", 2L, Seq(3L)))
+  }
+
+  "MinHashLsh.bandingFor" should "pick (b, r) whose threshold is nearest tau" in {
+    val (b, r) = MinHashLsh.bandingFor(0.42, 128)
+    (b * r) shouldBe 128
+    // pinned config (32, 4) has threshold (1/32)^(1/4) ≈ 0.420 — must win
+    (b, r) shouldBe ((32, 4))
+    val (b2, r2) = MinHashLsh.bandingFor(0.9, 128)
+    math.pow(1.0 / b2, 1.0 / r2) shouldBe 0.9 +- 0.12
+  }
+
   "blockingStats" should "aggregate (scheme, bkey, block_size) across schemes" in {
     val stats = BlockingSchemes.blockingStats(names, Seq(
       "simple" -> BlockingSchemes.simpleKey(col("name")),
