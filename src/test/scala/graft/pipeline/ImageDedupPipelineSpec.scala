@@ -76,6 +76,28 @@ class ImageDedupPipelineSpec extends AnyFlatSpec with Matchers with SparkTestBas
     metrics.select("stage").distinct().count() should be >= 7L
   }
 
+  "the annotated window pass" should "plan ONE exchange for both window mins" in {
+    // the scale claim behind s1_annotated: hash partitioning on caption
+    // satisfies the (caption, bytes_hash) clustering, so the cid and rep
+    // windows share a single shuffle — pinned here so a Spark upgrade or
+    // refactor that silently doubles the exchange fails loudly
+    import org.apache.spark.sql.expressions.Window
+    // repartition forces a real multi-partition input (a single-split range
+    // would satisfy any clustering trivially, hiding the window exchanges)
+    val input = SyntheticImages.generate(spark, 200L).toDF().repartition(4)
+    val annotated = input
+      .select(col("image_id"), lower(col("caption")).as("caption"),
+        col("phash"), xxhash64(col("bytes")).as("bytes_hash"))
+      .withColumn("cid", min("image_id").over(Window.partitionBy("caption")))
+      .withColumn("rep", min("image_id").over(
+        Window.partitionBy("caption", "bytes_hash")))
+    val plan = annotated.queryExecution.executedPlan.toString
+    // exactly 2: the explicit repartition + ONE hashpartitioning(caption)
+    // serving BOTH windows — a third exchange means the reuse broke
+    "(?i)exchange".r.findAllIn(plan).size shouldBe 2
+    plan should include("hashpartitioning(caption")
+  }
+
   "generator" should "be deterministic across invocations" in {
     val a = SyntheticImages.generate(spark, 100).toDF()
       .select(col("image_id"), xxhash64(col("bytes"), col("caption")).as("h"))
