@@ -99,12 +99,16 @@ object ScalingBench {
     // steal-delayed straggler extends every stage barrier; smaller tasks
     // level it (same ratio at both sizes keeps the comparison fair)
     val partsPerCore = sys.env.getOrElse("GRAFT_BENCH_PARTS_PER_CORE", "4").toInt
+    // AQE on by default (skew-join safety net); GRAFT_BENCH_AQE=false A/Bs
+    // the driver-serial planning cost — explicit salting already handles
+    // the skew AQE would
+    val aqe = sys.env.getOrElse("GRAFT_BENCH_AQE", "true")
     val builder = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-scaling-$cores")
       .config("spark.sql.shuffle.partitions", (cores * partsPerCore).toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.enabled", aqe)
+      .config("spark.sql.adaptive.skewJoin.enabled", aqe)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     // optional memory-system experiments (A/B via env, default off):
