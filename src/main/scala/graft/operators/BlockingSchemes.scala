@@ -81,7 +81,12 @@ object BlockingSchemes {
     val scalarArr = array(scalar.map { case (n, k) =>
       struct(lit(n).as("scheme"), k.cast("string").as("bkey")) }: _*)
     val listArrs = list.map { case (n, ks) =>
-      transform(ks, k => struct(lit(n).as("scheme"), k.cast("string").as("bkey"))) }
+      // a null list column would make the final concat null and explode
+      // would then drop the row's OTHER schemes' keys too — guard each
+      // list scheme with an empty array
+      coalesce(
+        transform(ks, k => struct(lit(n).as("scheme"), k.cast("string").as("bkey"))),
+        array().cast("array<struct<scheme:string,bkey:string>>")) }
     val all = (scalarArr +: listArrs).reduce(concat(_, _))
     df.select(explode(all).as("sk"))
       .select(col("sk.scheme").as("scheme"), col("sk.bkey").as("bkey"))

@@ -31,13 +31,14 @@ object Evaluation {
     *         f1_millis) — one row per threshold, integer-only
     */
   def thresholdCurve(scored: DataFrame, steps: Int = 10): DataFrame = {
-    val step = 1000L / steps
     val pred = col("score_millis") >= col("thresh_millis")
     def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
     scored
       .select(col("score_millis"), col("gold"),
         explode(sequence(lit(0L), lit(steps.toLong))).as("t"))
-      .withColumn("thresh_millis", col("t") * step)
+      // per-bucket division (not a pre-truncated step) so the top threshold
+      // is exactly 1000 even when steps does not divide 1000
+      .withColumn("thresh_millis", expr(s"(t * 1000) div $steps"))
       .groupBy("thresh_millis")
       .agg(
         cnt(col("gold") && pred).as("tp"),

@@ -72,11 +72,18 @@ object MinHashLsh {
         col("band.band_hash").as("band_hash"))
 
   /** Band-bucket self-join → distinct candidate pairs (a < b), salted on
-    * skewed buckets. */
+    * skewed buckets. The (band_idx, band_hash) key is folded LOSSLESSLY into
+    * one long (band_hash < P, so band_idx·P + band_hash is invertible — no
+    * collision can merge two buckets): the band table is the largest shuffle
+    * of the dedup job, and one 8-byte key both halves the key bytes per row
+    * and gives single-column hash partitioning. Output pairs are identical
+    * to the two-column join (q06 oracle). */
   def candidatePairs(bandDf: DataFrame,
-                     saltCap: Int = SaltCap, saltFanout: Int = SaltFanout): DataFrame =
-    SkewSalting.selfJoinPairs(bandDf, Seq("band_idx", "band_hash"), "id",
-      saltCap, saltFanout)
+                     saltCap: Int = SaltCap, saltFanout: Int = SaltFanout): DataFrame = {
+    val folded = bandDf.select(
+      (col("band_idx") * lit(P) + col("band_hash")).as("bucket"), col("id"))
+    SkewSalting.selfJoinPairs(folded, Seq("bucket"), "id", saltCap, saltFanout)
+  }
 
   /** Verify stage (SURVEY §2 B9): exact Jaccard on shingle sets, integer
     * rational threshold — runs only on candidate pairs. */

@@ -17,10 +17,40 @@ import org.apache.spark.sql.functions._
   * (bucket, salt_left) so one mega-bucket becomes `fanout` tasks, and every
   * pair (i, j) still meets exactly once (at s = salt(i)).
   *
-  * Cold buckets take the fast path (no replication). AQE skew-join handles
-  * residual imbalance (enabled in session conf).
+  * Skew/shuffle design (all three decisions shaped by what a viral key does
+  * to a 1000-executor shuffle):
+  *
+  *  1. Bucket sizes come from `groupBy(keys).count()` — partial (map-side)
+  *     aggregation means a viral bucket contributes ONE partial row per map
+  *     task; no single task ever holds the whole bucket. (A window count
+  *     over the key — the previous formulation — forces every row of the
+  *     viral bucket into one window task before salting can spread the
+  *     work, reintroducing the straggler this operator exists to remove.)
+  *  2. The hot-key set (count > cap) is tiny by construction and is
+  *     BROADCAST for the hot/cold row split — a map-side operation, so hot
+  *     rows are never co-located by their skewed key before salting.
+  *  3. Singleton buckets (count < 2) can produce no pairs but are the vast
+  *     majority of LSH band buckets — pure shuffle waste in a self-join. A
+  *     bloom filter over the multi-member bucket keys kills them MAP-SIDE,
+  *     before any shuffle. Bloom false positives only let a singleton
+  *     through (it yields no pair); there are no false negatives, so the
+  *     pair set is exact. Past `BloomMaxKeys` multi-buckets the bloom stops
+  *     being broadcastable and a shuffle semi-join takes over (rows shuffle
+  *     on the keys once; the self-join then reuses that exchange).
+  *
+  * Cold multi-member buckets take the plain equi-join path; AQE skew-join
+  * handles residual imbalance (enabled in session conf).
   */
 object SkewSalting {
+
+  /** Above this many multi-member buckets the bloom (~1 byte/key at 3% fpp)
+    * is no longer worth broadcasting to every executor; the semi-join
+    * fallback keeps the plan fully distributed. */
+  val BloomMaxKeys: Long = 32000000L
+
+  /** Bloom false-positive rate: FPs only admit pair-less singleton rows to
+    * the join, so a few percent costs almost nothing. */
+  val BloomFpp: Double = 0.03
 
   /** Distinct unordered pairs (a < b) of `idCol` values sharing the bucket
     * key columns, skew-salted.
@@ -46,21 +76,37 @@ object SkewSalting {
                             verifyCols: Seq[String], cap: Int, fanout: Int): DataFrame = {
     val keys = keyCols.map(col)
     val payload = verifyCols.map(col)
-    // Hot-bucket detection as a window count over the bucket key: ONE
-    // shuffle annotates every row with its bucket size (no groupBy+join
-    // pass, no collect+broadcast, no extra driver action). Materialized
-    // once (lazily) — reused by the cold join (both sides) and the hot
-    // join; without this every consumer recomputes the whole upstream
-    // signature pipeline.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys: _*)
-    val flagged = df.select(keys ++ payload :+ col(idCol).as("id"): _*)
-      .withColumn("hot", count(lit(1)).over(w) > cap)
+    // Materialized once (lazily): consumed by the bucket-size aggregation,
+    // the bloom build and the pair joins — without this every consumer
+    // recomputes the whole upstream signature pipeline.
+    val rows = df.select(keys ++ payload :+ col(idCol).as("id"): _*)
       .localCheckpoint(false)
+    val spark = rows.sparkSession
 
-    val cold = flagged.where(!col("hot")).drop("hot")
+    val counts = rows.groupBy(keys: _*).agg(count(lit(1)).as("bcount"))
+      .localCheckpoint(false)
+    val multi = counts.where(col("bcount") >= 2L)
+    val hotKeys = multi.where(col("bcount") > cap).select(keys: _*)
+
+    val multiCount = multi.count()
+    if (multiCount == 0L)
+      return rows.where(lit(false)).select(col("id").as("a"), col("id").as("b"))
+
+    // xxhash64 folds any key shape into one long for the bloom; a hash
+    // collision only makes a singleton look multi-member (FP-safe).
+    val keyHash = xxhash64(keys: _*)
+    val kept =
+      if (multiCount <= BloomMaxKeys) {
+        val bloom = multi.stat.bloomFilter(keyHash, multiCount, BloomFpp)
+        val bc = spark.sparkContext.broadcast(bloom)
+        val mightContain = udf((h: Long) => bc.value.mightContain(h))
+        rows.where(mightContain(keyHash))
+      } else rows.join(multi.select(keys: _*), keyCols, "left_semi")
+
+    val cold = kept.join(broadcast(hotKeys), keyCols, "left_anti")
     val coldPairs = pairJoin(cold, cold, keyCols, verifyCols)
 
-    val hotRows = flagged.where(col("hot")).drop("hot")
+    val hotRows = kept.join(broadcast(hotKeys), keyCols, "left_semi")
     val salted = hotRows.withColumn("salt", pmod(xxhash64(col("id")), lit(fanout)))
     val replicated = hotRows
       .withColumn("salt", explode(sequence(lit(0L), lit(fanout - 1L))))

@@ -15,14 +15,24 @@ object Versioning {
 
   /** Ordered (ts, value) history per entity as an array column plus the
     * current value: (id, versions: array<struct<ts,value>>, n_versions,
-    * current). `sort_array` orders by ts then value — deterministic. */
-  def history(df: DataFrame, idCol: String, tsCol: String, valueCol: String): DataFrame =
+    * current). `sort_array` orders by ts then value — deterministic.
+    *
+    * The materialized array is CAPPED at `maxVersions` per entity (the
+    * capped-keep treatment [[BlockingSchemes.groupBlocks]] got — a hot
+    * entity with millions of edits must not produce an unbounded row);
+    * `n_versions` reports the TRUE count and `current` is exact regardless
+    * of the cap (max over (ts, value) structs — the same ordering as
+    * sort_array's last element). */
+  def history(df: DataFrame, idCol: String, tsCol: String, valueCol: String,
+              maxVersions: Int = 10000): DataFrame =
     df.groupBy(col(idCol).as("id"))
-      .agg(sort_array(collect_list(struct(col(tsCol).as("ts"),
-        col(valueCol).as("value")))).as("versions"))
-      .select(col("id"), col("versions"),
-        size(col("versions")).cast("long").as("n_versions"),
-        element_at(col("versions"), -1)("value").as("current"))
+      .agg(
+        slice(sort_array(collect_list(struct(col(tsCol).as("ts"),
+          col(valueCol).as("value")))), 1, maxVersions).as("versions"),
+        count(lit(1)).as("n_versions"),
+        max(struct(col(tsCol).as("ts"), col(valueCol).as("value"))).as("cur"))
+      .select(col("id"), col("versions"), col("n_versions"),
+        col("cur")("value").as("current"))
 
   /** Flat version summary per entity — first/last version by (tsCol,
     * tieCol) order plus the current values of `valueCols`. Integer/window

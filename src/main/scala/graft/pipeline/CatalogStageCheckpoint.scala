@@ -46,16 +46,22 @@ class CatalogStageCheckpoint(spark: SparkSession, namespace: String,
 
   override def stage(name: String)(compute: => DataFrame): DataFrame = {
     if (isDone(name)) {
-      spark.table(tbl(name))
+      val out = spark.table(tbl(name))
+      // The stage table create() is the atomic commit; a crash between it
+      // and the metrics/manifest writes would otherwise leave those missing
+      // forever (isDone is already true on every later resume) — backfill
+      // them from the committed table here. wall_ms = -1 marks a backfilled
+      // row (the original compute time is unknowable after the crash).
+      if (!manifestHas(name)) {
+        writeMetricsIfMissing(name, out)
+        appendManifest(name, out.count(), wallMs = -1L)
+      }
+      out
     } else {
       val t0 = System.nanoTime()
       compute.writeTo(tbl(name)).using(format).create()
       val out = spark.table(tbl(name))
-      val metrics = out
-        .groupBy(spark_partition_id().cast("long").as("partition_id"))
-        .agg(count(lit(1)).as("rows"))
-        .select(lit(name).as("stage"), col("partition_id"), col("rows"))
-      metrics.writeTo(tbl(s"${name}__metrics")).using(format).create()
+      writeMetricsIfMissing(name, out)
       val rows = out.count()
       val wallMs = (System.nanoTime() - t0) / 1000000
       appendManifest(name, rows, wallMs)
@@ -63,9 +69,27 @@ class CatalogStageCheckpoint(spark: SparkSession, namespace: String,
     }
   }
 
+  private def writeMetricsIfMissing(name: String, out: DataFrame): Unit =
+    if (!spark.catalog.tableExists(tbl(s"${name}__metrics"))) {
+      val metrics = out
+        .groupBy(spark_partition_id().cast("long").as("partition_id"))
+        .agg(count(lit(1)).as("rows"))
+        .select(lit(name).as("stage"), col("partition_id"), col("rows"))
+      metrics.writeTo(tbl(s"${name}__metrics")).using(format).create()
+    }
+
+  private def manifestHas(name: String): Boolean =
+    spark.catalog.tableExists(manifestTbl) &&
+      !spark.table(manifestTbl).where(col("stage") === name).isEmpty
+
   private def appendManifest(name: String, rows: Long, wallMs: Long): Unit = {
     import spark.implicits._
-    val row = Seq((name, rows, wallMs)).toDF("stage", "rows", "wall_ms")
+    // seq carries the commit order explicitly — a parquet read-back has no
+    // row-order guarantee. Single-writer protocol (one driver owns a run's
+    // namespace), so count-at-append is a valid monotone sequence.
+    val seq = if (spark.catalog.tableExists(manifestTbl))
+      spark.table(manifestTbl).count() else 0L
+    val row = Seq((seq, name, rows, wallMs)).toDF("seq", "stage", "rows", "wall_ms")
     if (spark.catalog.tableExists(manifestTbl)) {
       // v2 catalogs (Iceberg) append through writeTo; the built-in session
       // catalog exposes v1 tables, where insertInto is the append path
@@ -80,6 +104,6 @@ class CatalogStageCheckpoint(spark: SparkSession, namespace: String,
   /** Completed stages in commit order: (stage, rows, wall_ms). */
   def manifest(): Seq[(String, Long, Long)] =
     if (!spark.catalog.tableExists(manifestTbl)) Nil
-    else spark.table(manifestTbl).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    else spark.table(manifestTbl).orderBy(col("seq")).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSeq
 }

@@ -139,12 +139,18 @@ object ImageDedupPipeline {
       val chunkBits = PhashBits / HammingChunks
       val mask = (1L << chunkBits) - 1L
       val b = reps
-        .select(col("image_id").as("id"), col("caption"), col("phash"),
+        .select(col("image_id").as("id"), col("cid"), col("phash"),
           explode(sequence(lit(0L), lit(HammingChunks - 1L))).as("chunk_idx"))
         .withColumn("chunk_val",
           expr(s"shiftright(phash, cast(chunk_idx * $chunkBits AS int)) & CAST($mask AS bigint)"))
-      SkewSalting.selfJoinPairs(b, Seq("caption", "chunk_idx", "chunk_val"), "id",
-        SaltCap, SaltFanout)
+        // caption groups are identified by cid (the caption-rep id), so the
+        // blocking key never shuffles the caption STRING; the whole
+        // (cid, chunk_idx, chunk_val) key folds into one 8-byte xxhash64 —
+        // a hash collision can only ADD a candidate pair, and every
+        // candidate is re-verified by the full caption+image ladder below,
+        // so the verified output is unchanged (FP-safe, never FN).
+        .withColumn("bucket", xxhash64(col("cid"), col("chunk_idx"), col("chunk_val")))
+      SkewSalting.selfJoinPairs(b, Seq("bucket"), "id", SaltCap, SaltFanout)
         .withColumn("src", lit("phash"))
     }
 

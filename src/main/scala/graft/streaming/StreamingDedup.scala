@@ -55,7 +55,21 @@ object StreamingDedup {
     * State is bounded twice: a processing-time timeout evicts idle buckets,
     * and `maxPerBucket` caps the remembered ids per bucket (the streaming
     * analog of the salting cap — a viral bucket emits pairs against the
-    * first `maxPerBucket` members instead of growing state quadratically). */
+    * first `maxPerBucket` members instead of growing state quadratically).
+    *
+    * Output contract: AT-LEAST-ONCE per candidate pair, exactly as for any
+    * streaming candidate generator feeding a verify stage —
+    *  (a) a pair whose signatures collide in MULTIPLE bands is emitted once
+    *      per colliding band (the batch [[graft.operators.MinHashLsh
+    *      .candidatePairs]] dedups across bands; a stream cannot coordinate
+    *      across band-bucket state cheaply);
+    *  (b) an id arriving at a FULL bucket (>= maxPerBucket members) emits
+    *      its pairs but is not remembered, so its re-arrival in a later
+    *      microbatch re-emits the same pairs (remembering evicted ids would
+    *      unbound the state the cap exists to bound).
+    * Downstream must treat (a, b) idempotently — the batch verify ladder
+    * does (`dropDuplicates("a","b")` precedes it), as does any sink keyed
+    * by (a, b). */
   def nearDupWithinStream(stream: DataFrame, idCol: String, textCol: String,
                           maxPerBucket: Int = 64,
                           stateTimeout: String = "30 minutes"): DataFrame = {
