@@ -25,7 +25,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // machine-readable copy for round-over-round diffing
+    // (tools/bench_diff.py old.json new.json)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_results.json"), json + "\n")
     spark.stop()
   }
 }

@@ -39,6 +39,7 @@ object Main {
 
     val truth = SyntheticImages.truth(spark, n).toDF()
     val (recall, truePairs, foundPairs) = pairRecall(clusters, truth)
+    val (precision, emittedPairs, correctPairs) = pairPrecision(clusters, truth)
 
     // precision guard: viral "photo" rows must stay singletons
     val viralMerged = clusters.join(
@@ -51,7 +52,7 @@ object Main {
     val invariantOk = rowsOut == n && viralMerged == 0
 
     val imagesPerSec = n / wallSec
-    println(s"""{"job":"image_dedup","n":$n,"wall_sec":$wallSec,"images_per_sec":$imagesPerSec,"dup_pair_recall":$recall,"true_pairs":$truePairs,"found_pairs":$foundPairs,"viral_merged_clusters":$viralMerged,"invariant_ok":$invariantOk,"resumable_stages":${ckpt.manifest().size}}""")
+    println(s"""{"job":"image_dedup","n":$n,"wall_sec":$wallSec,"images_per_sec":$imagesPerSec,"dup_pair_recall":$recall,"true_pairs":$truePairs,"found_pairs":$foundPairs,"dup_pair_precision":$precision,"emitted_pairs":$emittedPairs,"correct_pairs":$correctPairs,"viral_merged_clusters":$viralMerged,"invariant_ok":$invariantOk,"resumable_stages":${ckpt.manifest().size}}""")
     spark.stop()
   }
 
@@ -63,6 +64,30 @@ object Main {
       .join(c.select(col("image_id").as("b"), col("cluster_id").as("cb")), "b")
     val total = joined.count()
     val hit = joined.where(col("ca") === col("cb")).count()
+    (if (total == 0) 1.0 else hit.toDouble / total, total, hit)
+  }
+
+  /** Pair precision of emitted clusters: fraction of same-cluster pairs
+    * that are truly duplicates. The planted truth lists (base, dup) edges
+    * only, so the TRUE relation is its transitive closure — every truth
+    * edge shares the group's base as `a`, so a member's true group id is
+    * its truth-`a` (the base maps to itself); a same-cluster pair is
+    * correct iff both members carry the same non-null group. Within-cluster
+    * pair generation is quadratic per cluster — fine for an eval metric
+    * over bounded planted clusters (and the viral guard separately proves
+    * no mega-cluster exists to explode it). */
+  def pairPrecision(clusters: DataFrame, truth: DataFrame): (Double, Long, Long) = {
+    val grp = truth.select(col("b").as("id"), col("a").as("g"))
+      .unionByName(truth.select(col("a").as("id"), col("a").as("g")))
+      .distinct()
+    val c = clusters.select(col("image_id").as("id"), col("cluster_id"))
+      .join(grp, Seq("id"), "left")
+    val emitted = c.select(col("cluster_id"), col("id").as("pa"), col("g").as("ga"))
+      .join(c.select(col("cluster_id"), col("id").as("pb"), col("g").as("gb")), "cluster_id")
+      .where(col("pa") < col("pb"))
+      .localCheckpoint(false)
+    val total = emitted.count()
+    val hit = emitted.where(col("ga").isNotNull && col("ga") === col("gb")).count()
     (if (total == 0) 1.0 else hit.toDouble / total, total, hit)
   }
 

@@ -79,6 +79,18 @@ object OracleSql {
     (a,v) -> a+v) > 0 THEN 1 ELSE 0 END)::BIGINT
  FOR h IN range(${AnnHyperplanes - 1},-1,-1)]), (acc,b) -> acc*2+b)"""
 
+  /** Banded variant of [[bucketSql]]: the bucket of table `t` (a SQL
+    * expression) folds planes [t*r, (t+1)*r) high-to-low, r =
+    * AnnBandPlanes — mirrors HashKernels.hyperplaneBucket(v, r, t*r). */
+  private def bucketBandSql(v: String, t: String): String = {
+    val r = AnnBandPlanes
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT), [
+ (CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+    [$v[i+1]::DOUBLE * ((($M*(h*1024+i) + $LcgAddA) % $P) % 2 * 2 - 1)::DOUBLE FOR i IN range(0, len($v))]),
+    (a,v) -> a+v) > 0 THEN 1 ELSE 0 END)::BIGINT
+ FOR h IN range(($t+1)*$r - 1, $t*$r - 1, -1)]), (acc,b) -> acc*2+b)"""
+  }
+
   private val simhashCtes = {
     val bits = SimHashBits
     s"""tok AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS token FROM documents),
@@ -399,6 +411,51 @@ ORDER BY a, b""",
  s AS (SELECT a, b,
    ${dotSql("xe", "ye")} / sqrt(${dotSql("xe", "xe")}) / sqrt(${dotSql("ye", "ye")}) AS cos
   FROM p)
-SELECT a AS vec_a, b AS vec_b FROM s WHERE cos >= 0.4 ORDER BY vec_a, vec_b"""
+SELECT a AS vec_a, b AS vec_b FROM s WHERE cos >= 0.4 ORDER BY vec_a, vec_b""",
+
+    // banded multi-table hyperplane ANN: table t folds the sign bits of
+    // planes [t*r, (t+1)*r); candidates collide in ANY table, dedup'd,
+    // exact-cosine re-ranked (mirrors AnnSearch.lshTopKBanded)
+    "q37_ann_banded_topk" ->
+      s"""WITH tb AS (SELECT vec_id, embedding, t, ${bucketBandSql("embedding", "t")} AS bucket
+   FROM embeddings, unnest(range(0, $AnnBandTables)) AS u(t)),
+ q AS (SELECT vec_id AS query_id, t, bucket, embedding AS qv FROM tb WHERE vec_id < 10),
+ cand AS (SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+   FROM q JOIN tb c ON c.t = q.t AND c.bucket = q.bucket AND c.vec_id <> q.query_id),
+ s AS (SELECT query_id, neighbor_id,
+   ${dotSql("qv", "cv")} / sqrt(${dotSql("qv", "qv")}) / sqrt(${dotSql("cv", "cv")}) AS cos
+  FROM (SELECT cand.query_id, cand.neighbor_id, q2.embedding AS qv, c2.embedding AS cv
+    FROM cand JOIN embeddings q2 ON q2.vec_id = cand.query_id
+    JOIN embeddings c2 ON c2.vec_id = cand.neighbor_id)),
+ rk AS (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)::BIGINT AS rank FROM s)
+SELECT query_id, rank, neighbor_id FROM rk WHERE rank <= $AnnTopK ORDER BY query_id, rank""",
+
+    // production tokenizer: full stopword set + Porter-style longest-suffix
+    // stemmer (mirrors TextAnalysis.StopwordsFull / stemTokenFull ladder)
+    "q38_wordcount_rich" -> {
+      val sw = graft.operators.TextAnalysis.StopwordsFull
+        .map(s => s"'$s'").mkString("[", ",", "]")
+      s"""WITH $toks,
+ ct AS (SELECT doc_id, unnest([x FOR x IN t IF NOT list_contains($sw, x) AND x <> '']) AS tok FROM toks),
+ sm AS (SELECT doc_id, CASE
+    WHEN ends_with(tok,'ization') AND length(tok) > 8 THEN substr(tok, 1, length(tok)-7)||'ize'
+    WHEN ends_with(tok,'ational') AND length(tok) > 8 THEN substr(tok, 1, length(tok)-7)||'ate'
+    WHEN ends_with(tok,'fulness') AND length(tok) > 8 THEN substr(tok, 1, length(tok)-7)||'ful'
+    WHEN ends_with(tok,'ousness') AND length(tok) > 8 THEN substr(tok, 1, length(tok)-7)||'ous'
+    WHEN ends_with(tok,'iveness') AND length(tok) > 8 THEN substr(tok, 1, length(tok)-7)||'ive'
+    WHEN ends_with(tok,'tional') AND length(tok) > 7 THEN substr(tok, 1, length(tok)-6)||'tion'
+    WHEN ends_with(tok,'ments') AND length(tok) > 7 THEN substr(tok, 1, length(tok)-5)
+    WHEN ends_with(tok,'ment') AND length(tok) > 6 THEN substr(tok, 1, length(tok)-4)
+    WHEN ends_with(tok,'ness') AND length(tok) > 5 THEN substr(tok, 1, length(tok)-4)
+    WHEN ends_with(tok,'ing') AND length(tok) > 5 THEN substr(tok, 1, length(tok)-3)
+    WHEN ends_with(tok,'ies') AND length(tok) > 4 THEN substr(tok, 1, length(tok)-3)||'y'
+    WHEN ends_with(tok,'ed') AND length(tok) > 4 THEN substr(tok, 1, length(tok)-2)
+    WHEN ends_with(tok,'ly') AND length(tok) > 4 THEN substr(tok, 1, length(tok)-2)
+    WHEN ends_with(tok,'es') AND length(tok) > 4 THEN substr(tok, 1, length(tok)-2)
+    WHEN ends_with(tok,'s') AND length(tok) > 3 AND NOT ends_with(tok,'ss') THEN substr(tok, 1, length(tok)-1)
+    ELSE tok END AS token FROM ct)
+SELECT token, count(*)::BIGINT AS cnt, count(DISTINCT doc_id)::BIGINT AS doc_cnt
+FROM sm GROUP BY token ORDER BY token"""
+    }
   )
 }

@@ -95,6 +95,24 @@ object PhaseScalingBench {
           .agg(sum(col("id") + col("c1") + col("c2") + col("c3")
             + col("c4") + col("c5") + col("c6") + col("c7")))
       },
+      // ADVICE round-2: the pipeline's windowed annotation pass puts every
+      // row of a viral caption into ONE window task. These two phases
+      // benchmark that worst case (1/3 of all rows share one caption)
+      // against the groupBy+join-back alternative (partial agg is
+      // skew-free; the join back is AQE-skew-splittable) — the pipeline
+      // keeps the single-exchange window for typical data, this pins the
+      // measured crossover evidence.
+      "viral_window" -> { s =>
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("caption")
+        viralInput(s)
+          .withColumn("rep", min("id").over(w))
+          .agg(bit_xor(col("rep")))
+      },
+      "viral_groupby_join" -> { s =>
+        val in = viralInput(s)
+        val mins = in.groupBy("caption").agg(min("id").as("rep"))
+        in.join(mins, "caption").agg(bit_xor(col("rep")))
+      },
       "decode_phash" -> { s =>
         // the verify stage's codec work, measured honestly: decode + pixel
         // hash of EVERY row (psnr-based variants short-circuit — the
@@ -132,6 +150,14 @@ object PhaseScalingBench {
     val pairs = summary.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(s"""{"bench":"phase_scaling_summary","n":$n,"efficiencies":$pairs}""")
   }
+
+  /** 24M rows, every 3rd sharing one viral caption — the skew shape the
+    * annotation phases compare formulations on. */
+  private def viralInput(s: SparkSession) =
+    s.range(0L, 24000000L, 1L, 256)
+      .select(col("id"),
+        when(col("id") % 3L === 0L, lit("viral caption"))
+          .otherwise(concat(lit("c"), col("id"))).as("caption"))
 
   private def session(cores: Int): SparkSession = {
     val builder = SparkSession.builder()

@@ -220,6 +220,15 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** Banded multi-table ANN end-to-end (the RECALL path of q31's shape:
+    * union of 16 four-plane bucket tables instead of one 16-plane table —
+    * see AnnSearch.lshBucketsBanded for the collision math). */
+  def annBandedTopK(s: SparkSession, dir: String): DataFrame = {
+    val c = vecs(s, dir)
+    AnnSearch.lshTopKBanded(c, c.where(col("id") < 10))
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding-cosine near-dup pairs (bucketed candidates + exact cosine
     * threshold; τ pinned to 0.4 for the synthetic embeddings — their max
     * pairwise cosine is 0.47, so a production-like 0.95 matches nothing). */
@@ -319,6 +328,13 @@ object Queries {
   /** Word count over stopword-filtered + stemmed tokens (A27 variants). */
   def wordCountStemmed(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.wordCountStemmed(docs(s, dir), "doc_id", "text")
+
+  /** Production tokenizer variant: full stopword set + Porter-style
+    * longest-suffix stemmer (A27 realism; q33 keeps the pinned tiny
+    * defaults). */
+  def wordCountRich(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.wordCountStemmed(docs(s, dir), "doc_id", "text",
+      stopwords = TextAnalysis.StopwordsFull, stem = TextAnalysis.stemTokenFull)
       .orderBy("token")
 
   /** Integer tf-idf vectors over documents (A38). */

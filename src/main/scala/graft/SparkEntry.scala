@@ -46,7 +46,9 @@ object SparkEntry {
     "q33_wordcount_stemmed" -> (Queries.wordCountStemmed(_, _)),
     "q34_tfidf"          -> (Queries.tfidfVectors(_, _)),
     "q35_tfidf_cosine"   -> (Queries.tfidfCosine(_, _)),
-    "q36_embedding_near_dup" -> (Queries.embeddingNearDup(_, _))
+    "q36_embedding_near_dup" -> (Queries.embeddingNearDup(_, _)),
+    "q37_ann_banded_topk" -> (Queries.annBandedTopK(_, _)),
+    "q38_wordcount_rich" -> (Queries.wordCountRich(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

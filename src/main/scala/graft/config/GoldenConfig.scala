@@ -68,6 +68,23 @@ object GoldenConfig {
   val AnnHyperplanes: Int = 16
   val AnnTopK: Int = 5
 
+  /** Banded multi-table hyperplane LSH (the MinHash-banding analog in
+    * cosine space): `AnnBandTables` bucket tables of `AnnBandPlanes` sign
+    * bits each; a pair is a candidate when all bits of at least one table
+    * agree — P(candidate | angle θ) = 1 - (1 - p^r)^b with p = 1 - θ/π.
+    *
+    * 12×8 is pinned for the PRODUCTION near-dup regime (cosine ≥ 0.9 →
+    * p ≥ 0.856 → recall 1-(1-0.856^8)^12 ≈ 0.97, while a random
+    * near-orthogonal pair collides with prob 1-(1-0.5^8)^12 ≈ 0.046 — a
+    * ~21× signal/noise separation). Sign-bit LSH cannot separate pairs at
+    * cosine ~0.4 from a cosine-0 background at high recall for ANY (r, b)
+    * within reason (p_sig/p_noise = 0.63/0.5 ⇒ r ≥ ~15, b ≥ ~3000), so
+    * corpora whose "near" means 0.4 need a different family (e.g. the
+    * tf-idf token-join path) — documented in AnnAndTextSpec with measured
+    * numbers. */
+  val AnnBandTables: Int = 12
+  val AnnBandPlanes: Int = 8
+
   /** Deterministic seed for the synthetic image+caption generator. */
   val Seed: Long = 42L
 

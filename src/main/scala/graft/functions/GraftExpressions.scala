@@ -121,8 +121,10 @@ case class DotFExpr(left: Expression, right: Expression)
   override def prettyName: String = "graft_dot_f"
 }
 
-/** hyperplane_bucket(array<float>, planes) → long LSH bucket id. */
-case class HyperplaneBucketExpr(child: Expression, planes: Int)
+/** hyperplane_bucket(array<float>, planes[, offset]) → long LSH bucket id
+  * over planes [offset, offset + planes) — offset = t·planes gives banded
+  * table t's bucket. */
+case class HyperplaneBucketExpr(child: Expression, planes: Int, offset: Int = 0)
     extends UnaryExpression {
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -134,10 +136,10 @@ case class HyperplaneBucketExpr(child: Expression, planes: Int)
     }
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
-    HashKernels.hyperplaneBucket(input.asInstanceOf[ArrayData], planes)
+    HashKernels.hyperplaneBucket(input.asInstanceOf[ArrayData], planes, offset)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.HashKernels.hyperplaneBucket($c, $planes);")
+      s"${ev.value} = graft.functions.HashKernels.hyperplaneBucket($c, $planes, $offset);")
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketExpr =
     copy(child = newChild)
   override def prettyName: String = "graft_hyperplane_bucket"
@@ -148,9 +150,11 @@ object GraftExpressions {
   def dotF(a: Column, b: Column): Column =
     Bridge.column(DotFExpr(Bridge.expression(a), Bridge.expression(b)))
 
-  /** Compiled random-hyperplane LSH bucket of a float-array column. */
-  def hyperplaneBucket(vec: Column, planes: Int): Column =
-    Bridge.column(HyperplaneBucketExpr(Bridge.expression(vec), planes))
+  /** Compiled random-hyperplane LSH bucket of a float-array column;
+    * `offset` selects the plane range [offset, offset + planes) for banded
+    * multi-table LSH. */
+  def hyperplaneBucket(vec: Column, planes: Int, offset: Int = 0): Column =
+    Bridge.column(HyperplaneBucketExpr(Bridge.expression(vec), planes, offset))
 
   /** Rolling l-gram hashes over a token array (window fold of token
     * hashes — the substring-pass candidate key). */

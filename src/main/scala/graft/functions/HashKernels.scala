@@ -170,11 +170,19 @@ object HashKernels {
     * plane h's weight for dim i is ((LcgMul*(h*1024+i)+LcgAddA) mod P
     * mod 2)*2-1, projection is a left-fold double sum, and the bucket
     * folds sign bits from plane planes-1 down to 0 as acc*2+bit. */
-  def hyperplaneBucket(vec: ArrayData, planes: Int): Long = {
+  def hyperplaneBucket(vec: ArrayData, planes: Int): Long =
+    hyperplaneBucket(vec, planes, 0)
+
+  /** Banded variant: folds the sign bits of planes
+    * [offset, offset + planes), high plane first — table t of a banded
+    * multi-table LSH passes offset = t * planesPerTable, so every table
+    * draws DISTINCT pseudo-random hyperplanes from the same pinned LCG
+    * stream. offset = 0 is exactly the single-table bucket. */
+  def hyperplaneBucket(vec: ArrayData, planes: Int, offset: Int): Long = {
     val n = vec.numElements()
     var bucket = 0L
-    var h = planes - 1
-    while (h >= 0) {
+    var h = offset + planes - 1
+    while (h >= offset) {
       var acc = 0.0
       var i = 0
       while (i < n) {

@@ -86,8 +86,9 @@ object AnnSearch {
   /** Embedding-cosine near-duplicate pairs: LSH bucket self-join generates
     * candidates (never all-pairs), exact cosine ≥ tau verifies. The scale
     * shape of embedding dedup: one equi-join on the bucket id; recall is
-    * governed by `planes` (all sign bits must agree — band over multiple
-    * bucket tables for higher recall, same as MinHash LSH banding). */
+    * governed by `planes` (all sign bits must agree) — use
+    * [[nearDupPairsBanded]] when a single table's p^planes recall is not
+    * enough. */
   def nearDupPairs(corpus: DataFrame, tau: Double,
                    planes: Int = AnnHyperplanes): DataFrame = {
     val b = lshBuckets(corpus, planes)
@@ -95,9 +96,14 @@ object AnnSearch {
       .join(b.select(col("bucket"), col("id").as("b")), "bucket")
       .where(col("a") < col("b"))
       .select("a", "b").distinct()
-    // norms once per VECTOR, not per pair (at 10^12 scale a vector sits in
-    // many pairs); dividing dot by the two norms in the same order keeps
-    // the doubles bit-identical to the inline cosine / the oracle
+    verifyCosine(cand, corpus, tau)
+  }
+
+  /** Exact-cosine ≥ tau verification of candidate (a, b) pairs. Norms are
+    * computed once per VECTOR, not per pair (at 10^12 scale a vector sits
+    * in many pairs); dividing dot by the two norms in the same order keeps
+    * the doubles bit-identical to the inline cosine / the oracle. */
+  private def verifyCosine(cand: DataFrame, corpus: DataFrame, tau: Double): DataFrame = {
     val v = corpus.select(col("id"), col("vec"), norm(col("vec")).as("nrm"))
     cand
       .join(v.select(col("id").as("a"), col("vec").as("va"), col("nrm").as("na")), "a")
@@ -106,21 +112,80 @@ object AnnSearch {
       .select(col("a"), col("b"))
   }
 
+  /** (id, table_idx, bucket): banded multi-table hyperplane LSH — the
+    * MinHash-banding generalization to cosine space. Table t's bucket folds
+    * the sign bits of planes [t·r, (t+1)·r) (distinct pseudo-random
+    * hyperplanes per table from the same pinned LCG stream), so a pair
+    * collides when ALL r bits agree in AT LEAST ONE of the b tables:
+    * P(candidate | angle θ) = 1 − (1 − p^r)^b, p = 1 − θ/π — the recall
+    * knob the single-table [[lshBuckets]] lacks (there every one of its 16
+    * bits must agree). One kernel pass per table, exploded to rows. */
+  def lshBucketsBanded(corpus: DataFrame, tables: Int = AnnBandTables,
+                       planesPerTable: Int = AnnBandPlanes): DataFrame = {
+    val tb = array((0 until tables).map { t =>
+      struct(lit(t.toLong).as("table_idx"),
+        graft.functions.GraftExpressions
+          .hyperplaneBucket(col("vec"), planesPerTable, t * planesPerTable)
+          .as("bucket"))
+    }: _*)
+    corpus.select(col("id"), explode(tb).as("tb"))
+      .select(col("id"), col("tb.table_idx").as("table_idx"),
+        col("tb.bucket").as("bucket"))
+  }
+
+  /** Banded embedding near-dup pairs: candidates from the multi-table
+    * bucket self-join (skew-salted — a dense embedding cluster is a viral
+    * bucket), exact cosine ≥ tau verifies. The (table_idx, bucket) key
+    * folds losslessly into one long (bucket < 2^r). */
+  def nearDupPairsBanded(corpus: DataFrame, tau: Double,
+                         tables: Int = AnnBandTables,
+                         planesPerTable: Int = AnnBandPlanes,
+                         saltCap: Int = SaltCap, saltFanout: Int = SaltFanout): DataFrame = {
+    val b = lshBucketsBanded(corpus, tables, planesPerTable)
+      .select((col("table_idx") * lit(1L << planesPerTable) + col("bucket")).as("bucket"),
+        col("id"))
+    val cand = SkewSalting.selfJoinPairs(b, Seq("bucket"), "id", saltCap, saltFanout)
+    verifyCosine(cand, corpus, tau)
+  }
+
   /** ANN via LSH buckets: candidates from bucket join, exact cosine top-k
     * re-rank within candidates. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = AnnTopK,
               planes: Int = AnnHyperplanes): DataFrame = {
     val cb = lshBuckets(corpus, planes).withColumnRenamed("id", "neighbor_id")
     val qb = lshBuckets(queries, planes).withColumnRenamed("id", "query_id")
-    // norms once per vector (same division order as the inline cosine —
-    // bit-identical doubles, fewer flops per candidate)
+    val cand = qb.join(cb, "bucket")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+    rankTopK(cand, corpus, queries, k)
+  }
+
+  /** Banded ANN: candidates from the multi-table bucket join (union over
+    * tables, dedup'd — a pair colliding in several tables scores once),
+    * exact cosine top-k re-rank. Recall vs [[bruteForceTopK]] is governed
+    * by (tables, planesPerTable) — see [[lshBucketsBanded]]. */
+  def lshTopKBanded(corpus: DataFrame, queries: DataFrame, k: Int = AnnTopK,
+                    tables: Int = AnnBandTables,
+                    planesPerTable: Int = AnnBandPlanes): DataFrame = {
+    val cb = lshBucketsBanded(corpus, tables, planesPerTable)
+      .withColumnRenamed("id", "neighbor_id")
+    val qb = lshBucketsBanded(queries, tables, planesPerTable)
+      .withColumnRenamed("id", "query_id")
+    val cand = qb.join(cb, Seq("table_idx", "bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    rankTopK(cand, corpus, queries, k)
+  }
+
+  /** Exact-cosine scoring + per-query top-k of candidate pairs. Norms once
+    * per vector (same division order as the inline cosine — bit-identical
+    * doubles, fewer flops per candidate); the query side broadcasts. */
+  private def rankTopK(cand: DataFrame, corpus: DataFrame, queries: DataFrame,
+                       k: Int): DataFrame = {
     val qv = queries.select(col("id").as("query_id"), col("vec").as("qv"),
       norm(col("vec")).as("qn"))
     val cv = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"),
       norm(col("vec")).as("cn"))
-    val cand = qb.join(cb, "bucket")
-      .where(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id")
     val scored = cand.join(broadcast(qv), "query_id").join(cv, "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("qv"), col("cv")) / col("qn") / col("cn")).as("cos"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Alias link-probability aggregation (SURVEY §2 A19 —
@@ -8,24 +8,45 @@ import org.apache.spark.sql.functions._
   * often it occurs as a link anchor vs as plain text, and keeps aliases
   * whose link probability clears a threshold).
   *
-  * Spark shape: the alias dictionary (extracted link anchors) is orders of
-  * magnitude smaller than the corpus, so it is broadcast; per-document
-  * occurrence counting is a codegen'd length-difference expression (no
-  * tokenization pass, no UDF). Integer milli-probabilities keep the result
-  * oracle-exact.
+  * Spark shape (scale path): the page × alias cross product is replaced by
+  * a TOKEN-ANCHORED equi-join —
+  *
+  *  1. identical pages collapse to one row with a multiplicity `m`
+  *     (occurrence counts of equal texts are equal; the same viral-collapse
+  *     trick as the dedup pipeline's caption layer);
+  *  2. each distinct page emits its DISTINCT punctuation-stripped tokens
+  *     (tid, tok) — longs and short strings, never the page text;
+  *  3. aliases join on their (punctuation-stripped) FIRST token — an
+  *     equi-join any alias-dictionary size can take (the old broadcast
+  *     cross-join did |pages| · |aliases| occurrence scans and required the
+  *     dictionary to fit in memory);
+  *  4. only the surviving (page, alias) candidates fetch the page text and
+  *     count occurrences — a codegen'd length-difference expression.
+  *
+  * Occurrence semantics: non-overlapping literal substring count per page
+  * (unchanged) for every page that contains the alias's first token as a
+  * whitespace token (punctuation-stripped, so "berlin," anchors "berlin").
+  * Occurrences starting strictly INSIDE a word (alias "erlin" inside
+  * "berlin") are no longer counted — link anchors are token sequences, so
+  * the anchored count is the reference-faithful one. Skewed anchor tokens
+  * (an alias starting with a stopword) lean on AQE skew-join; the candidate
+  * volume itself is inherent to the query.
+  *
+  * Integer milli-probabilities keep the result oracle-exact.
   */
 object LinkAnalysis {
 
   /** Occurrences of `pat` in `text` (non-overlapping, literal). */
-  private def countOcc(text: org.apache.spark.sql.Column,
-                       pat: org.apache.spark.sql.Column) =
+  private def countOcc(text: Column, pat: Column) =
     ((length(text) - length(replace(text, pat, lit("")))) / length(pat)).cast("long")
+
+  private val PunctClass = "[^\\p{L}\\p{N}]"
 
   /** @param links (alias) — one row per link OCCURRENCE (anchor text)
     * @param pages (textCol) — corpus pages/documents
     * @return (alias, n_links, n_occurrences, link_prob_millis) where
-    *         n_occurrences counts every literal occurrence of the alias in
-    *         the corpus (lowercased match) and
+    *         n_occurrences counts literal occurrences of the alias in the
+    *         corpus (lowercased, token-anchored — see scaladoc) and
     *         link_prob_millis = n_links*1000 div max(n_occurrences, n_links)
     *         (an alias occurring only as links has probability 1000). */
   def linkProbability(pages: DataFrame, textCol: String, links: DataFrame,
@@ -33,10 +54,26 @@ object LinkAnalysis {
     val aliases = links
       .select(lower(col(aliasCol)).as("alias"))
       .groupBy("alias").agg(count(lit(1)).as("n_links"))
-    val occ = pages.select(lower(col(textCol)).as("t"))
-      .crossJoin(broadcast(aliases.select(col("alias"))))
-      .select(col("alias"), countOcc(col("t"), col("alias")).as("occ"))
+
+    // identical pages collapse; tid pinned by the checkpoint (it feeds both
+    // the token table and the text fetch-back — an unpinned
+    // monotonically_increasing_id could diverge between the two consumers)
+    val pg = pages.select(lower(col(textCol)).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("m"))
+      .withColumn("tid", monotonically_increasing_id())
+      .localCheckpoint(false)
+
+    val pageToks = pg.select(col("tid"), explode(array_distinct(
+      transform(split(col("t"), " "),
+        tk => regexp_replace(tk, PunctClass, "")))).as("tok"))
+    val anchors = aliases.select(col("alias"),
+      regexp_replace(split(col("alias"), " ").getItem(0), PunctClass, "").as("tok"))
+
+    val cand = pageToks.join(anchors, "tok").select("tid", "alias")
+    val occ = cand.join(pg, "tid")
+      .select(col("alias"), (countOcc(col("t"), col("alias")) * col("m")).as("occ"))
       .groupBy("alias").agg(sum(col("occ")).as("n_occurrences"))
+
     aliases.join(occ, Seq("alias"), "left")
       .select(col("alias"), col("n_links"),
         coalesce(col("n_occurrences"), lit(0L)).as("n_occurrences"))

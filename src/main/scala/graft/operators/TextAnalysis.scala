@@ -17,8 +17,20 @@ import graft.functions.TextHash.{tokens, shingles, fingerprint}
   */
 object TextAnalysis {
 
-  /** Stopword list for quality/lang heuristics — pinned, tiny. */
+  /** Stopword list for quality/lang heuristics — pinned, tiny (kept as the
+    * q33 oracle default; real pipelines pass [[StopwordsFull]]). */
   val Stopwords: Seq[String] = Seq("a", "the", "of", "and", "is")
+
+  /** Fuller English stopword set for production-shaped tokenization —
+    * still pinned and deterministic (standard high-frequency function
+    * words; any corpus-derived list would break oracle reproducibility). */
+  val StopwordsFull: Seq[String] = Seq(
+    "a", "an", "the", "and", "or", "but", "of", "in", "on", "at", "to",
+    "for", "with", "by", "from", "as", "is", "are", "was", "were", "be",
+    "been", "being", "it", "its", "this", "that", "these", "those", "he",
+    "she", "they", "them", "his", "her", "their", "we", "you", "i", "not",
+    "no", "so", "if", "then", "than", "too", "very", "can", "will", "just",
+    "do", "does", "did", "has", "have", "had")
 
   /** Character-bigram evidence per language — a deterministic, pinned
     * n-gram language-ID heuristic (counts of marker bigrams; argmax with
@@ -72,9 +84,11 @@ object TextAnalysis {
   // ---- tokenizer variants (A27: the reference's tokenizer family beyond
   // lowercase-whitespace — stopword removal and a suffix stemmer) ----------
 
-  /** Stopword- and empty-token-filtered tokens. */
-  def cleanTokens(text: Column): Column =
-    filter(tokens(text), t => !t.isin(Stopwords: _*) && t =!= "")
+  /** Stopword- and empty-token-filtered tokens. The default stopword set
+    * stays the pinned 5-word list (the q33 oracle); pass
+    * [[StopwordsFull]] for production-shaped cleaning (q38). */
+  def cleanTokens(text: Column, stopwords: Seq[String] = Stopwords): Column =
+    filter(tokens(text), t => !t.isin(stopwords: _*) && t =!= "")
 
   /** Pinned deterministic suffix stemmer (CASE chain, not regex — regex
     * alternation order is engine-specific; a when-ladder is oracle-exact):
@@ -88,10 +102,41 @@ object TextAnalysis {
         t.substr(lit(1), length(t) - 1))
       .otherwise(t)
 
-  /** Corpus word count over cleaned + stemmed tokens: (token, cnt, doc_cnt). */
-  def wordCountStemmed(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"), explode(cleanTokens(col(textCol))).as("tok"))
-      .select(col("id"), stemToken(col("tok")).as("token"))
+  /** Fuller deterministic suffix stemmer — a Porter-style longest-suffix
+    * when-ladder (derivational endings before inflections; min stem-length
+    * guards), still a pure CASE chain so the DuckDB oracle reproduces it
+    * token-for-token. Same interface as [[stemToken]]. */
+  def stemTokenFull(t: Column): Column = {
+    def repl(suf: String, by: String): Column =
+      concat(t.substr(lit(1), length(t) - suf.length), lit(by))
+    when(t.endsWith("ization") && length(t) > 8, repl("ization", "ize"))
+      .when(t.endsWith("ational") && length(t) > 8, repl("ational", "ate"))
+      .when(t.endsWith("fulness") && length(t) > 8, repl("fulness", "ful"))
+      .when(t.endsWith("ousness") && length(t) > 8, repl("ousness", "ous"))
+      .when(t.endsWith("iveness") && length(t) > 8, repl("iveness", "ive"))
+      .when(t.endsWith("tional") && length(t) > 7, repl("tional", "tion"))
+      .when(t.endsWith("ments") && length(t) > 7, t.substr(lit(1), length(t) - 5))
+      .when(t.endsWith("ment") && length(t) > 6, t.substr(lit(1), length(t) - 4))
+      .when(t.endsWith("ness") && length(t) > 5, t.substr(lit(1), length(t) - 4))
+      .when(t.endsWith("ing") && length(t) > 5, t.substr(lit(1), length(t) - 3))
+      .when(t.endsWith("ies") && length(t) > 4, repl("ies", "y"))
+      .when(t.endsWith("ed") && length(t) > 4, t.substr(lit(1), length(t) - 2))
+      .when(t.endsWith("ly") && length(t) > 4, t.substr(lit(1), length(t) - 2))
+      .when(t.endsWith("es") && length(t) > 4, t.substr(lit(1), length(t) - 2))
+      .when(t.endsWith("s") && length(t) > 3 && !t.endsWith("ss"),
+        t.substr(lit(1), length(t) - 1))
+      .otherwise(t)
+  }
+
+  /** Corpus word count over cleaned + stemmed tokens: (token, cnt, doc_cnt).
+    * Defaults pinned for the q33 oracle; pass `stopwords`/`stem` for the
+    * production tokenizer (q38 uses StopwordsFull + stemTokenFull). */
+  def wordCountStemmed(df: DataFrame, idCol: String, textCol: String,
+                       stopwords: Seq[String] = Stopwords,
+                       stem: Column => Column = stemToken): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(cleanTokens(col(textCol), stopwords)).as("tok"))
+      .select(col("id"), stem(col("tok")).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("cnt"), countDistinct(col("id")).as("doc_cnt"))
 

@@ -72,6 +72,82 @@ class AnnAndTextSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     out should contain(1L)
   }
 
+  private def realEmb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  /** Deterministic planted near-dup corpus in the PRODUCTION regime the
+    * banded parameters are pinned for (GoldenConfig.AnnBandTables scaladoc):
+    * `nBase` random unit-ish vectors (pairwise cosine ≈ 0, dim 32) plus one
+    * jittered near-duplicate (cosine ≈ 0.93–0.98) for each of the first
+    * `nDups` base vectors, planted at id = base_id + 100000. */
+  private def plantedCorpus(nBase: Int = 300, nDups: Int = 100) = {
+    val rnd = new scala.util.Random(graft.config.GoldenConfig.Seed)
+    val dim = 32
+    val base = (0 until nBase).map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq))
+    val dups = base.take(nDups).map { case (i, v) =>
+      (i + 100000L, v.map(x => x + 0.15f * rnd.nextGaussian().toFloat))
+    }
+    (base ++ dups).toDF("id", "vec")
+  }
+
+  // The testdata embeddings are an ADVERSARIAL regime for sign-bit LSH:
+  // their max pairwise cosine is 0.47 against a cosine-0 background, so
+  // p_signal/p_noise = 0.63/0.5 per plane and 0.95-recall candidate
+  // generation would need thousands of tables (the math is in the
+  // GoldenConfig.AnnBandTables scaladoc). The banded operator is asserted
+  // in the production regime (planted cosine >= 0.9 dups) below; on the
+  // real embeddings it is measured and reported for the record — round-3
+  // readings: banded 0.62 vs single-table 0.09 recall@5.
+  "lshTopKBanded" should "retrieve >= 95% of planted near-duplicates at rank 1" in {
+    val corpus = plantedCorpus()
+    val queries = corpus.where(col("id") >= 100000L)
+    val nq = queries.count()
+    val hits = AnnSearch.lshTopKBanded(corpus, queries)
+      .where(col("rank") === 1L && col("neighbor_id") === col("query_id") - 100000L)
+      .count()
+    info(f"banded true-NN@1 recall = ${hits.toDouble / nq}%.3f ($hits/$nq)")
+    hits.toDouble / nq should be >= 0.95
+  }
+
+  it should "beat the single-table path on the real (low-cosine) embeddings" in {
+    val emb = realEmb
+    val queries = emb.where(col("id") < 20)
+    val brute = AnnSearch.bruteForceTopK(emb, queries)
+      .select("query_id", "neighbor_id").localCheckpoint()
+    val banded = AnnSearch.lshTopKBanded(emb, queries, tables = 16, planesPerTable = 4)
+      .select("query_id", "neighbor_id")
+    val single = AnnSearch.lshTopK(emb, queries).select("query_id", "neighbor_id")
+    val total = brute.count()
+    val hitBanded = brute.join(banded, Seq("query_id", "neighbor_id"), "left_semi").count()
+    val hitSingle = brute.join(single, Seq("query_id", "neighbor_id"), "left_semi").count()
+    info(f"low-cosine regime recall@5: banded(16x4) = ${hitBanded.toDouble / total}%.3f ($hitBanded/$total), single(16) = ${hitSingle.toDouble / total}%.3f ($hitSingle/$total)")
+    hitBanded should be > hitSingle
+  }
+
+  "nearDupPairsBanded" should "reach recall >= 0.95 of true cosine pairs at the production tau" in {
+    val corpus = plantedCorpus()
+    val tau = 0.85
+    val l = corpus.select(col("id").as("a"), col("vec").as("va"))
+    val r = corpus.select(col("id").as("b"), col("vec").as("vb"))
+    val truth = l.crossJoin(r).where(col("a") < col("b"))
+      .where(AnnSearch.cosine(col("va"), col("vb")) >= tau)
+      .select("a", "b").localCheckpoint()
+    val banded = AnnSearch.nearDupPairsBanded(corpus, tau = tau)
+    val total = truth.count()
+    val hit = truth.join(banded, Seq("a", "b"), "left_semi").count()
+    info(f"banded near-dup recall = ${hit.toDouble / total}%.3f ($hit/$total of true pairs)")
+    total should be >= 50L // the corpus really plants pairs above tau
+    hit.toDouble / total should be >= 0.95
+  }
+
+  "lshBucketsBanded" should "give table 0 buckets consistent with the offset-0 kernel" in {
+    val emb = realEmb.limit(50)
+    val t0 = AnnSearch.lshBucketsBanded(emb, tables = 1, planesPerTable = 16)
+      .select(col("id"), col("bucket"))
+    val single = AnnSearch.lshBuckets(emb, planes = 16).withColumnRenamed("bucket", "sb")
+    t0.join(single, "id").where(col("bucket") =!= col("sb")).count() shouldBe 0L
+  }
+
   "langId" should "be deterministic and emit a pinned-order guess" in {
     val d = Seq((0L, "the theory of things"), (1L, "xyz qqq")).toDF("doc_id", "text")
     val out = TextAnalysis.langId(d, "doc_id", "text")

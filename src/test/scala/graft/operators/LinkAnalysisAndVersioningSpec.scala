@@ -33,6 +33,35 @@ class LinkAnalysisAndVersioningSpec extends AnyFlatSpec with Matchers with Spark
     got.getAs[Long]("link_prob_millis") shouldBe 1000L
   }
 
+  it should "anchor multi-token aliases and punctuation-adjacent occurrences" in {
+    val links = Seq("New York", "New York").toDF("alias")
+    val pages = Seq(
+      (1L, "i love new york and new york loves me"),   // 2 occurrences
+      (2L, "new york, the big apple"),                 // "york," token still anchors
+      (3L, "newer yorkshire has no match")             // anchor token "newer" != "new"
+    ).toDF("page_id", "text")
+    val r = LinkAnalysis.linkProbability(pages, "text", links).head()
+    r.getAs[Long]("n_occurrences") shouldBe 3L
+    r.getAs[Long]("link_prob_millis") shouldBe 666L // 2*1000 div 3
+  }
+
+  it should "multiply occurrence counts of identical (collapsed) pages" in {
+    val links = Seq("dup").toDF("alias")
+    val pages = Seq((1L, "dup text dup"), (2L, "dup text dup"), (3L, "other")).toDF("page_id", "text")
+    LinkAnalysis.linkProbability(pages, "text", links)
+      .head().getAs[Long]("n_occurrences") shouldBe 4L
+  }
+
+  "Versioning.history" should "cap the version array for a hot entity but keep exact count and current" in {
+    val hot = (1 to 500).map(i =>
+      (9L, Timestamp.valueOf(f"2020-01-01 00:${i / 60}%02d:${i % 60}%02d"), s"v$i"))
+    val df = (hot :+ ((10L, Timestamp.valueOf("2020-01-01 00:00:01"), "solo"))).toDF("entity_id", "ts", "name")
+    val got = Versioning.history(df, "entity_id", "ts", "name", maxVersions = 16)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[org.apache.spark.sql.Row](1).size, r.getLong(2), r.getString(3))).sortBy(_._1)
+    got shouldBe Array((9L, 16, 500L, "v500"), (10L, 1, 1L, "solo"))
+  }
+
   "Versioning.history" should "order versions by ts and expose the current value" in {
     val df = Seq(
       (1L, Timestamp.valueOf("2020-01-02 00:00:00"), "v2"),

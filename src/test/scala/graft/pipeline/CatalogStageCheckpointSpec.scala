@@ -43,6 +43,49 @@ class CatalogStageCheckpointSpec extends AnyFlatSpec with Matchers with SparkTes
     } finally spark.sql(s"DROP NAMESPACE IF EXISTS $ns CASCADE")
   }
 
+  it should "backfill metrics and manifest when resuming a stage that crashed mid-commit" in {
+    val (ns, loc) = freshNs("crash")
+    try {
+      val ck = new CatalogStageCheckpoint(spark, ns, location = Some(loc))
+      // simulate the crash window: the stage table's atomic create()
+      // succeeded but the process died before metrics/manifest were written
+      Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+        .writeTo(s"$ns.s_cr").using("parquet").create()
+      ck.manifest() shouldBe Nil
+
+      val out = ck.stage("s_cr") { fail("must not recompute a committed stage"); null }
+      out.count() shouldBe 2
+      // backfilled: manifest row (wall_ms = -1 marks it) + metrics table
+      ck.manifest() shouldBe Seq(("s_cr", 2L, -1L))
+      spark.catalog.tableExists(s"$ns.s_cr__metrics") shouldBe true
+      // a further resume backfills nothing twice
+      val ck2 = new CatalogStageCheckpoint(spark, ns, location = Some(loc))
+      ck2.stage("s_cr") { fail("must not recompute"); null }
+      ck2.manifest().size shouldBe 1
+    } finally spark.sql(s"DROP NAMESPACE IF EXISTS $ns CASCADE")
+  }
+
+  it should "run end-to-end on an Iceberg catalog when the runtime jar is present (auto-skipped otherwise)" in {
+    val icebergPresent =
+      try { Class.forName("org.apache.iceberg.spark.SparkCatalog"); true }
+      catch { case _: ClassNotFoundException => false }
+    assume(icebergPresent,
+      "no Iceberg runtime jar on the classpath (documented env constraint, " +
+        "SURVEY §2 B1/B12); drop iceberg-spark-runtime into the jars dir and " +
+        "this test exercises the identical writeTo flow with format=iceberg")
+    val wh = Files.createTempDirectory("graft_iceberg_wh").toString
+    spark.conf.set("spark.sql.catalog.graft_ice", "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.graft_ice.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.graft_ice.warehouse", wh)
+    val ck = new CatalogStageCheckpoint(spark, "graft_ice.ck", format = "iceberg")
+    ck.stage("s_ice") { Seq((1L, "a")).toDF("id", "v") }.count() shouldBe 1
+    val ck2 = new CatalogStageCheckpoint(spark, "graft_ice.ck", format = "iceberg")
+    var recomputed = false
+    ck2.stage("s_ice") { recomputed = true; Seq((1L, "a")).toDF("id", "v") }
+    recomputed shouldBe false
+    ck2.manifest().map(_._1) shouldBe Seq("s_ice")
+  }
+
   it should "run the full image dedup pipeline with catalog-table stages" in {
     val (ns, loc) = freshNs("pipe")
     try {
