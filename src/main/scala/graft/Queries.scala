@@ -237,6 +237,22 @@ object Queries {
       .select(col("a").as("vec_a"), col("b").as("vec_b"))
       .orderBy("vec_a", "vec_b")
 
+  /** Audio modality surface (B16): deterministic audio table derived from
+    * documents (bytes = UTF-8 of the text, duration from its length) →
+    * hop-window features → majority-vote 64-bit fingerprints. The stub PCM
+    * decode is a JVM kernel (wrapping 64-bit arithmetic), not
+    * SQL-expressible — no DuckDB oracle, driver records the rows-only
+    * check; semantics are pinned by AudioOpsSpec. */
+  def audioFingerprints(s: SparkSession, dir: String): DataFrame = {
+    val audio = docs(s, dir).select(col("doc_id").as("audio_id"),
+      col("text").cast("binary").as("bytes"),
+      (length(col("text")).cast("long") * 20L + 1000L).as("duration_ms"))
+    graft.audio.AudioOps.fingerprints(
+        graft.audio.AudioOps.featureTable(audio, "audio_id", "bytes", "duration_ms"))
+      .select(col("id").as("audio_id"), col("simhash").as("fingerprint"))
+      .orderBy("audio_id")
+  }
+
   // ---- relational operators (reference A-rows over TPC-H-ish tables) -------
 
   def aggPricing(s: SparkSession, dir: String): DataFrame =

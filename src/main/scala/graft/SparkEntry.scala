@@ -48,7 +48,10 @@ object SparkEntry {
     "q35_tfidf_cosine"   -> (Queries.tfidfCosine(_, _)),
     "q36_embedding_near_dup" -> (Queries.embeddingNearDup(_, _)),
     "q37_ann_banded_topk" -> (Queries.annBandedTopK(_, _)),
-    "q38_wordcount_rich" -> (Queries.wordCountRich(_, _))
+    "q38_wordcount_rich" -> (Queries.wordCountRich(_, _)),
+    // no oracle (JVM stub-decode kernel): driver rows-only check; semantics
+    // pinned by AudioOpsSpec
+    "q39_audio_fingerprints" -> (Queries.audioFingerprints(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

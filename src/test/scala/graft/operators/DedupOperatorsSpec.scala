@@ -88,6 +88,39 @@ class DedupOperatorsSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     salted.size shouldBe (40 * 39 / 2 + 1 + 3)
   }
 
+  it should "never shuffle singleton-bucket rows into the pair join (round-3 plan property)" in {
+    // 10,000 rows: 9,000 singleton buckets + 500 buckets of 2. The round-2
+    // formulation shuffled every row ~3x (window + both self-join sides) ≈
+    // 30k+ records; the bloom singleton-drop must keep total shuffle
+    // records near (partial-agg count rows + 2 × multi-member rows). A
+    // listener on shuffle-write records pins the property measurably — a
+    // refactor that re-admits singletons to the join trips the bound.
+    val rows = ((0L until 9000L).map(i => (i, 100000L + i)) ++
+      (0L until 1000L).map(i => (20000L + i, 200000L + i / 2)))
+      .toDF("id", "bucket")
+      .repartition(8).localCheckpoint() // materialize input OUTSIDE the measured region
+    val written = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null && t.taskMetrics.shuffleWriteMetrics != null)
+          written.addAndGet(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val pairs = SkewSalting.selfJoinPairs(rows, Seq("bucket"), "id", SaltCap, SaltFanout)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // listener events are async — wait until the counter stabilizes
+      var last = -1L
+      var spins = 0
+      while (written.get() != last && spins < 40) {
+        last = written.get(); Thread.sleep(250); spins += 1
+      }
+      pairs shouldBe (0L until 1000L by 2).map(i => (20000L + i, 20001L + i)).toSet
+      info(s"shuffle records written = ${written.get()} (old formulation: 30k+)")
+      written.get() should be < 16000L
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   "SimHashNearDup" should "bucket-join equals brute-force hamming filter" in {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val sim = SimHashNearDup.simhashTable(docs, "doc_id", "text").localCheckpoint()
