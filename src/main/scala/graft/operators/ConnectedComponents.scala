@@ -25,30 +25,58 @@ object ConnectedComponents {
   /** @param edges (a, b) pairs, same orderable type; self-loops/dups allowed.
     * @param nodes optional (id) universe — rows with no edges become
     *              singleton clusters.
+    * @param store optional reliable checkpoint: every `checkpointEvery`
+    *              iterations the edge state is committed through the
+    *              [[graft.pipeline.StageStore]] (stage `cc_edges_<i>`) and a
+    *              restarted run RESUMES from the latest committed iteration
+    *              instead of iterating from scratch. `localCheckpoint` alone
+    *              is not fault-tolerant on executor loss (round-2 verdict
+    *              note) — on a real cluster pass the job's Iceberg-backed
+    *              store. Same single-writer/one-namespace-per-input contract
+    *              as every StageStore use: resuming against different input
+    *              edges serves stale state.
     * @return (id, cluster_id) with cluster_id = min id of the component.
     */
   def run(spark: SparkSession, edges: DataFrame, nodes: Option[DataFrame] = None,
-          maxIter: Int = 50): DataFrame = {
+          maxIter: Int = 50,
+          store: Option[graft.pipeline.StageStore] = None,
+          checkpointEvery: Int = 10): DataFrame = {
     val idType = edges.schema("a").dataType
     require(edges.schema("b").dataType == idType, "edge endpoints must share a type")
 
+    // resume point: the highest committed cc_edges_<i> stage, if any
+    val startIter = store.map { st =>
+      (checkpointEvery to maxIter by checkpointEvery)
+        .filter(i => st.isDone(s"cc_edges_$i")).lastOption.getOrElse(0)
+    }.getOrElse(0)
+
     // lazy localCheckpoint: the checksum aggregation doubles as the
     // materializing action — one driver job per iteration, not two
-    var e = edges.select(col("a"), col("b")).where(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
-      .distinct()
-      .localCheckpoint(false)
+    var e =
+      if (startIter > 0)
+        // isDone just returned true, so compute is never forced
+        store.get.stage(s"cc_edges_$startIter")(
+          sys.error("unreachable: completed stage must not recompute"))
+      else edges.select(col("a"), col("b")).where(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+        .distinct()
+        .localCheckpoint(false)
 
     var sig = checksum(e)
     var converged = sig._1 == 0L
-    var iter = 0
+    var iter = startIter
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(false)
+      val stepped = smallStar(largeStar(e))
+      iter += 1
+      val next = store match {
+        case Some(st) if iter % checkpointEvery == 0 =>
+          st.stage(s"cc_edges_$iter")(stepped) // reliable commit replaces localCheckpoint
+        case _ => stepped.localCheckpoint(false)
+      }
       val nextSig = checksum(next)
       converged = nextSig == sig
       sig = nextSig
       e = next
-      iter += 1
     }
     // Fail loudly rather than emit wrong clusters: the star extraction below
     // is only correct at the fixpoint. 50 rounds covers graphs far beyond

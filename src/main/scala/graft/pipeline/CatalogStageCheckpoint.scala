@@ -7,6 +7,9 @@ import org.apache.spark.sql.functions._
   * table, or not at all — see ImageDedupPipeline.runDirect). */
 trait StageStore {
   def stage(name: String)(compute: => DataFrame): DataFrame
+  /** Whether `stage(name)` would serve a completed snapshot without forcing
+    * its compute. Default false — ephemeral stores recompute always. */
+  def isDone(name: String): Boolean = false
 }
 
 /** Catalog-table stage checkpointing through the DataFrameWriterV2 path —
@@ -42,7 +45,7 @@ class CatalogStageCheckpoint(spark: SparkSession, namespace: String,
   private def tbl(name: String): String = s"$namespace.$name"
   private val manifestTbl = tbl("_manifest")
 
-  def isDone(name: String): Boolean = spark.catalog.tableExists(tbl(name))
+  override def isDone(name: String): Boolean = spark.catalog.tableExists(tbl(name))
 
   override def stage(name: String)(compute: => DataFrame): DataFrame = {
     if (isDone(name)) {

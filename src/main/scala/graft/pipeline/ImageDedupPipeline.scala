@@ -52,7 +52,11 @@ object ImageDedupPipeline {
     val reuse = Set("s1_annotated", "s2_shingles", "s6_verified_edges")
     runImpl(spark, input, new StageStore {
       def stage(name: String)(compute: => DataFrame): DataFrame =
-        if (reuse(name)) compute.localCheckpoint(false) else compute
+        // cc_edges_* periodic commits degrade to plain lineage truncation
+        // here (a bench run has no durability requirement)
+        if (reuse(name) || name.startsWith("cc_edges_"))
+          compute.localCheckpoint(false)
+        else compute
     })
   }
 
@@ -218,11 +222,15 @@ object ImageDedupPipeline {
         .select(col("a"), col("b"))
     }
 
-    // ---- stage: connected components over verified ∪ exact-star edges
+    // ---- stage: connected components over verified ∪ exact-star edges;
+    // the job's store also takes CC's periodic reliable checkpoints, so an
+    // executor-loss restart resumes mid-iteration instead of re-running the
+    // whole O(log² n) loop (localCheckpoint alone is not fault-tolerant)
     ckpt.stage("s7_clusters") {
       val edges = verified.select("a", "b").unionByName(starEdges.select("a", "b"))
       ConnectedComponents.run(spark, edges,
-        Some(annotated.select(col("image_id").as("id"))))
+        Some(annotated.select(col("image_id").as("id"))),
+        store = Some(ckpt))
         .select(col("id").as("image_id"), col("cluster_id"))
     }
   }

@@ -40,7 +40,7 @@ class StageCheckpoint(spark: SparkSession, baseDir: String) extends StageStore {
       stage.zip(rows)
     }.toMap
 
-  def isDone(stage: String): Boolean =
+  override def isDone(stage: String): Boolean =
     done.contains(stage) && Files.exists(Paths.get(baseDir, stage, "_SUCCESS"))
 
   def path(stage: String): String = s"$baseDir/$stage"

@@ -76,4 +76,32 @@ class ConnectedComponentsSpec extends AnyFlatSpec with Matchers with SparkTestBa
       .map { case (id, c) => (c, id) }
     run(starEdges) shouldBe first
   }
+
+  it should "take periodic reliable checkpoints through a StageStore and resume from them" in {
+    // a 600-node path graph needs several large/small-star rounds, so with
+    // checkpointEvery=2 at least one cc_edges_<i> commit lands
+    val chain = (0L until 599L).map(i => (i, i + 1))
+    val nodes = (0L until 600L).toDF("id")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ck").toString
+    val st1 = new graft.pipeline.StageCheckpoint(spark, dir)
+    val out1 = ConnectedComponents.run(spark, chain.toDF("a", "b"), Some(nodes),
+        store = Some(st1), checkpointEvery = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out1 shouldBe (0L until 600L).map(_ -> 0L).toMap
+    val committed = st1.manifest().filter(_.contains("\"stage\":\"cc_edges_"))
+    committed should not be empty
+
+    // a fresh run over the same store resumes from the latest commit: the
+    // manifest gains no new entries before that iteration, and the result
+    // is identical
+    val st2 = new graft.pipeline.StageCheckpoint(spark, dir)
+    val out2 = ConnectedComponents.run(spark, chain.toDF("a", "b"), Some(nodes),
+        store = Some(st2), checkpointEvery = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out2 shouldBe out1
+    val committed2 = st2.manifest().filter(_.contains("\"stage\":\"cc_edges_"))
+    // resume re-commits nothing before the resume point; it may add commits
+    // only for iterations AFTER it
+    committed2.toSet.intersect(committed.toSet) shouldBe committed.toSet
+  }
 }
