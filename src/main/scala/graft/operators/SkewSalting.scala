@@ -52,6 +52,16 @@ object SkewSalting {
     * the join, so a few percent costs almost nothing. */
   val BloomFpp: Double = 0.03
 
+  /** Minimum singleton-row mass before the bloom engages. Building and
+    * broadcasting the filter costs a driver job + a scan of the bucket
+    * counts; below this, letting the (pair-less) singletons ride the join
+    * shuffle is cheaper — measured: the bloom's fixed cost added ~15% to
+    * every salted query at sf0.1 while saving nothing, and at bench/test
+    * scale the singleton mass never reaches this bar. At the 10^12-row
+    * target the band table is ~95% singletons and the bloom always
+    * engages. */
+  val BloomMinSingletons: Long = 1000000L
+
   /** Distinct unordered pairs (a < b) of `idCol` values sharing the bucket
     * key columns, skew-salted.
     *
@@ -88,16 +98,26 @@ object SkewSalting {
     val multi = counts.where(col("bcount") >= 2L)
     val hotKeys = multi.where(col("bcount") > cap).select(keys: _*)
 
-    val multiCount = multi.count()
-    if (multiCount == 0L)
+    // one action decides the singleton strategy: how many rows sit in
+    // multi-member buckets (the only ones that can pair) vs singletons
+    val st = counts.agg(
+      count(when(col("bcount") >= 2L, lit(1))).as("mb"),
+      sum(when(col("bcount") >= 2L, col("bcount"))).as("mr"),
+      sum(col("bcount")).as("tr")).head()
+    val multiBuckets = st.getLong(0)
+    if (multiBuckets == 0L)
       return rows.where(lit(false)).select(col("id").as("a"), col("id").as("b"))
+    val multiRows = st.getLong(1)
+    val singletonRows = st.getLong(2) - multiRows
 
     // xxhash64 folds any key shape into one long for the bloom; a hash
     // collision only makes a singleton look multi-member (FP-safe).
     val keyHash = xxhash64(keys: _*)
     val kept =
-      if (multiCount <= BloomMaxKeys) {
-        val bloom = multi.stat.bloomFilter(keyHash, multiCount, BloomFpp)
+      if (singletonRows < math.max(BloomMinSingletons, multiRows))
+        rows // not enough dead weight to pay for a filter — singletons pair with nothing
+      else if (multiBuckets <= BloomMaxKeys) {
+        val bloom = multi.stat.bloomFilter(keyHash, multiBuckets, BloomFpp)
         val bc = spark.sparkContext.broadcast(bloom)
         val mightContain = udf((h: Long) => bc.value.mightContain(h))
         rows.where(mightContain(keyHash))

@@ -89,15 +89,19 @@ class DedupOperatorsSpec extends AnyFlatSpec with Matchers with SparkTestBase {
   }
 
   it should "never shuffle singleton-bucket rows into the pair join (round-3 plan property)" in {
-    // 10,000 rows: 9,000 singleton buckets + 500 buckets of 2. The round-2
-    // formulation shuffled every row ~3x (window + both self-join sides) ≈
-    // 30k+ records; the bloom singleton-drop must keep total shuffle
-    // records near (partial-agg count rows + 2 × multi-member rows). A
-    // listener on shuffle-write records pins the property measurably — a
-    // refactor that re-admits singletons to the join trips the bound.
-    val rows = ((0L until 9000L).map(i => (i, 100000L + i)) ++
-      (0L until 1000L).map(i => (20000L + i, 200000L + i / 2)))
-      .toDF("id", "bucket")
+    // 1.2M singleton buckets (above BloomMinSingletons, so the bloom
+    // engages) + 500 buckets of 2. The round-2 formulation shuffled every
+    // row ~3x (window + both self-join sides) ≈ 3.6M records; with the
+    // map-side bloom drop only the counts partial-agg rows plus the
+    // multi-member rows (and ~3% FP singletons) may shuffle. A listener on
+    // shuffle-write records pins the property measurably — a refactor that
+    // re-admits singletons to the pair join trips the bound.
+    val singles = spark.range(0L, 1200000L)
+      .select(col("id"), (col("id") + 10000000L).as("bucket"))
+    val multis = spark.range(0L, 1000L)
+      .select((col("id") + 20000000L).as("id"),
+        (expr("id div 2") + 900000000L).as("bucket"))
+    val rows = singles.unionByName(multis)
       .repartition(8).localCheckpoint() // materialize input OUTSIDE the measured region
     val written = new java.util.concurrent.atomic.AtomicLong
     val listener = new org.apache.spark.scheduler.SparkListener {
@@ -115,9 +119,9 @@ class DedupOperatorsSpec extends AnyFlatSpec with Matchers with SparkTestBase {
       while (written.get() != last && spins < 40) {
         last = written.get(); Thread.sleep(250); spins += 1
       }
-      pairs shouldBe (0L until 1000L by 2).map(i => (20000L + i, 20001L + i)).toSet
-      info(s"shuffle records written = ${written.get()} (old formulation: 30k+)")
-      written.get() should be < 16000L
+      pairs shouldBe (0L until 1000L by 2).map(i => (20000000L + i, 20000001L + i)).toSet
+      info(s"shuffle records written = ${written.get()} (all-rows formulation: ~3.6M)")
+      written.get() should be < 2000000L
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
