@@ -253,6 +253,17 @@ object Queries {
       .orderBy("audio_id")
   }
 
+  /** IVF ANN end-to-end: deterministic-seed k-means lists + probe + exact
+    * re-rank. Centroid means are float averages whose summation order is
+    * partition-dependent — no bit-exact SQL oracle; driver records the
+    * rows-only check, AnnAndTextSpec pins exactness (nprobe = nlist ≡
+    * brute force) and recall. */
+  def annIvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val c = vecs(s, dir)
+    AnnSearch.ivfTopK(c, c.where(col("id") < 10), nlist = 8, nprobe = 4)
+      .orderBy("query_id", "rank")
+  }
+
   // ---- relational operators (reference A-rows over TPC-H-ish tables) -------
 
   def aggPricing(s: SparkSession, dir: String): DataFrame =

@@ -51,7 +51,11 @@ object SparkEntry {
     "q38_wordcount_rich" -> (Queries.wordCountRich(_, _)),
     // no oracle (JVM stub-decode kernel): driver rows-only check; semantics
     // pinned by AudioOpsSpec
-    "q39_audio_fingerprints" -> (Queries.audioFingerprints(_, _))
+    "q39_audio_fingerprints" -> (Queries.audioFingerprints(_, _)),
+    // no oracle (float k-means centroid sums are order-dependent): driver
+    // rows-only check; exactness pinned by AnnAndTextSpec (nprobe = nlist
+    // ≡ brute force)
+    "q40_ann_ivf_topk" -> (Queries.annIvfTopK(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -177,6 +177,68 @@ object AnnSearch {
     rankTopK(cand, corpus, queries, k)
   }
 
+  // ---- IVF (inverted-file) ANN: k-means coarse quantizer + probe lists —
+  // the third scale path next to single-table and banded hyperplane LSH.
+  // Centroids are tiny (nlist rows) and BROADCAST; the corpus is scanned
+  // once for assignment and once per search — no corpus self-join at all.
+
+  /** Deterministic-seed Lloyd's k-means over the (id, vec) corpus:
+    * initial centroids are the first `nlist` vectors in id order, then
+    * `iters` rounds of assign (max cosine, broadcast centroids) +
+    * element-wise mean. Returns (cid, cvec). Float summation order inside
+    * the mean is partition-dependent (documented) — IVF recall does not
+    * depend on low-order centroid bits. */
+  def ivfCentroids(corpus: DataFrame, nlist: Int, iters: Int = 3): DataFrame = {
+    var cents = corpus.orderBy("id").limit(nlist)
+      .select(col("vec").as("cvec"),
+        (row_number().over(Window.orderBy("id")) - 1).cast("long").as("cid"))
+      .localCheckpoint(false)
+    (1 to iters).foreach { _ =>
+      val assigned = assignToCentroids(corpus, cents)
+      cents = corpus.join(assigned, "id")
+        .select(col("cid"), posexplode(col("vec")))
+        .groupBy("cid", "pos").agg(avg(col("col")).as("m"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s("m").cast("float")).as("cvec"))
+        .localCheckpoint(false)
+    }
+    cents
+  }
+
+  /** (id, cid): each vector's nearest centroid by cosine (ties → lowest
+    * cid). One broadcast join, no shuffle of the corpus. */
+  def assignToCentroids(df: DataFrame, centroids: DataFrame): DataFrame =
+    df.crossJoin(broadcast(centroids))
+      .select(col("id"), col("cid"),
+        (dot(col("vec"), col("cvec")) / norm(col("vec")) / norm(col("cvec"))).as("score"))
+      .groupBy("id")
+      .agg(max(struct(col("score").as("score"), negate(col("cid")).as("ncid"))).as("best"))
+      .select(col("id"), negate(col("best")("ncid")).cast("long").as("cid"))
+
+  /** IVF ANN: corpus vectors are bucketed by nearest centroid (the
+    * inverted lists); each query probes its `nprobe` nearest lists and
+    * exact cosine re-ranks the candidates. nprobe = nlist degenerates to
+    * exact brute force (every list probed — unit-tested equal to
+    * [[bruteForceTopK]]); recall-vs-cost is the nprobe knob, orthogonal to
+    * the LSH paths' (tables, planes). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = AnnTopK,
+              nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
+    val cents = ivfCentroids(corpus, nlist, iters)
+    val lists = assignToCentroids(corpus, cents).withColumnRenamed("id", "neighbor_id")
+    val probes = queries.crossJoin(broadcast(cents))
+      .select(col("id").as("query_id"), col("cid"),
+        (dot(col("vec"), col("cvec")) / norm(col("vec")) / norm(col("cvec"))).as("score"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score").desc, col("cid"))))
+      .where(col("rk") <= nprobe)
+      .select(col("query_id"), col("cid"))
+    val cand = probes.join(lists, "cid")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+    rankTopK(cand, corpus, queries, k)
+  }
+
   /** Exact-cosine scoring + per-query top-k of candidate pairs. Norms once
     * per vector (same division order as the inline cosine — bit-identical
     * doubles, fewer flops per candidate); the query side broadcasts. */

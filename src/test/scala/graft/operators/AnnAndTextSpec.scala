@@ -140,6 +140,27 @@ class AnnAndTextSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     hit.toDouble / total should be >= 0.95
   }
 
+  "ivfTopK" should "equal brute force when every list is probed (nprobe = nlist)" in {
+    val emb = realEmb
+    val queries = emb.where(col("id") < 10)
+    val brute = AnnSearch.bruteForceTopK(emb, queries)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ivf = AnnSearch.ivfTopK(emb, queries, nlist = 8, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    ivf shouldBe brute
+  }
+
+  it should "retrieve planted near-duplicates at rank 1 with few probes" in {
+    val corpus = plantedCorpus()
+    val queries = corpus.where(col("id") >= 100000L)
+    val nq = queries.count()
+    val hits = AnnSearch.ivfTopK(corpus, queries, nlist = 16, nprobe = 4)
+      .where(col("rank") === 1L && col("neighbor_id") === col("query_id") - 100000L)
+      .count()
+    info(f"IVF true-NN@1 recall (nprobe 4/16) = ${hits.toDouble / nq}%.3f ($hits/$nq)")
+    hits.toDouble / nq should be >= 0.95
+  }
+
   "lshBucketsBanded" should "give table 0 buckets consistent with the offset-0 kernel" in {
     val emb = realEmb.limit(50)
     val t0 = AnnSearch.lshBucketsBanded(emb, tables = 1, planesPerTable = 16)
