@@ -55,6 +55,14 @@ object OracleSql {
   private val ver =
     s"ver AS (SELECT c.a, c.b, len(list_intersect(sa.s, sb.s))::BIGINT AS inter, len(sa.s)::BIGINT AS na, len(sb.s)::BIGINT AS nb FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b WHERE len(list_intersect(sa.s, sb.s))*$TauDen >= $TauNum*(len(sa.s)+len(sb.s)-len(list_intersect(sa.s, sb.s))))"
 
+  /** Cross (master × staging) candidate pairs: staging = doc_id % 4 == 0,
+    * a = master id, b = staging id — mirrors Queries.crossDedupPairs. */
+  private val candx =
+    "candx AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash WHERE x.doc_id % 4 <> 0 AND y.doc_id % 4 = 0)"
+
+  private val verx =
+    s"verx AS (SELECT c.a, c.b, len(list_intersect(sa.s, sb.s))::BIGINT AS inter, len(sa.s)::BIGINT AS na, len(sb.s)::BIGINT AS nb FROM candx c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b WHERE len(list_intersect(sa.s, sb.s))*$TauDen >= $TauNum*(len(sa.s)+len(sb.s)-len(list_intersect(sa.s, sb.s))))"
+
   private val textPipeline =
     Seq(toks, shinglesCte(K), shh, sig, bandsCte, cand, ver).mkString(",\n ")
 
@@ -456,6 +464,12 @@ SELECT query_id, rank, neighbor_id FROM rk WHERE rank <= $AnnTopK ORDER BY query
     ELSE tok END AS token FROM ct)
 SELECT token, count(*)::BIGINT AS cnt, count(DISTINCT doc_id)::BIGINT AS doc_cnt
 FROM sm GROUP BY token ORDER BY token"""
-    }
+    },
+
+    // incremental (master × staging) dedup: verified cross pairs only —
+    // a = master (doc_id % 4 <> 0), b = staging (doc_id % 4 = 0)
+    "q41_cross_dedup_pairs" ->
+      s"""WITH $toks, ${shinglesCte(K)}, $shh, $sig, $bandsCte, $candx, $verx
+SELECT a, b, inter, na, nb FROM verx ORDER BY a, b"""
   )
 }

@@ -264,6 +264,24 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** Incremental (master × staging) dedup — the reference's dual-input
+    * blocking shape (A11): verified near-dup CROSS pairs between a master
+    * split and a staging split of documents (staging = doc_id % 4 == 0).
+    * Exercises [[SkewSalting.crossJoinPairs]] /
+    * [[MinHashLsh.candidatePairsAgainst]]: corpus buckets with no staging
+    * row never shuffle. */
+  def crossDedupPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val master = d.where(col("doc_id") % 4 =!= 0)
+    val staging = d.where(col("doc_id") % 4 === 0)
+    val sh = MinHashLsh.shingleTable(master, "doc_id", "text")
+      .unionByName(MinHashLsh.shingleTable(staging, "doc_id", "text"))
+    val cand = MinHashLsh.candidatePairsAgainst(
+      MinHashLsh.bands(MinHashLsh.signaturesFromText(master, "doc_id", "text")),
+      MinHashLsh.bands(MinHashLsh.signaturesFromText(staging, "doc_id", "text")))
+    MinHashLsh.verifyPairs(cand, sh).orderBy("a", "b")
+  }
+
   // ---- relational operators (reference A-rows over TPC-H-ish tables) -------
 
   def aggPricing(s: SparkSession, dir: String): DataFrame =

@@ -55,7 +55,8 @@ object SparkEntry {
     // no oracle (float k-means centroid sums are order-dependent): driver
     // rows-only check; exactness pinned by AnnAndTextSpec (nprobe = nlist
     // ≡ brute force)
-    "q40_ann_ivf_topk" -> (Queries.annIvfTopK(_, _))
+    "q40_ann_ivf_topk" -> (Queries.annIvfTopK(_, _)),
+    "q41_cross_dedup_pairs" -> (Queries.crossDedupPairs(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -99,6 +99,53 @@ object MinHashLsh {
       .where(jaccardGe(col("inter"), col("na"), col("nb"), num, den))
   }
 
+  /** Band-bucket join of a MASTER band table against a STAGING band table →
+    * distinct cross pairs (a = master id, b = staging id) — the reference's
+    * actual blocking shape (blocks are master × staging,
+    * R:.../deduplication/Blocking.scala; SURVEY §2 A11) and the incremental-
+    * dedup workhorse: at 10^12 rows a daily delta is deduped against the
+    * corpus with shuffle work proportional to the DELTA's buckets (corpus
+    * buckets with no staging row are dropped map-side inside
+    * [[SkewSalting.crossJoinPairs]]), never re-pairing the corpus against
+    * itself. */
+  def candidatePairsAgainst(bandMaster: DataFrame, bandStaging: DataFrame,
+                            saltCap: Int = SaltCap,
+                            saltFanout: Int = SaltFanout): DataFrame = {
+    def folded(bandDf: DataFrame): DataFrame = bandDf.select(
+      (col("band_idx") * lit(P) + col("band_hash")).as("bucket"), col("id"))
+    SkewSalting.crossJoinPairs(folded(bandMaster), folded(bandStaging),
+      Seq("bucket"), "id", saltCap, saltFanout)
+  }
+
+  /** Incremental dedup: edges connecting STAGING rows into MASTER clusters
+    * (master is assumed already deduped/clustered — its internal structure
+    * is not re-derived). Returns
+    *  - verified near-dup cross edges (a = master rep, b = staging rep),
+    *  - exact-text cross edges (same shape; identical text short-circuits
+    *    the signature path), and
+    *  - staging-internal star edges (a = staging rep, b = staging member),
+    * so connected components over (existing master clusters ∪ these edges)
+    * assigns every staging row. Staging-internal NEAR-dups that match no
+    * master row intentionally stay separate clusters here — run
+    * [[dedupEdges]] over staging alone and union if within-delta near-dup
+    * clustering is also wanted. */
+  def dedupEdgesAgainst(master: DataFrame, staging: DataFrame,
+                        idCol: String, textCol: String): DataFrame = {
+    val (repsM, _) = exactCollapse(master, idCol, textCol)
+    val (repsS, starS) = exactCollapse(staging, idCol, textCol)
+    val exactCross = repsM.withColumnRenamed("id", "a")
+      .join(repsS.withColumnRenamed("id", "b"), "text")
+      .select(col("a"), col("b"))
+    val sh = shingleTable(repsM, "id", "text")
+      .unionByName(shingleTable(repsS, "id", "text")).localCheckpoint(false)
+    val cand = candidatePairsAgainst(
+      bands(signaturesFromText(repsM, "id", "text")),
+      bands(signaturesFromText(repsS, "id", "text")))
+    verifyPairs(cand, sh).select(col("a"), col("b"))
+      .unionByName(exactCross).unionByName(starS)
+      .dropDuplicates("a", "b")
+  }
+
   /** Exact-duplicate star edges + representative table.
     * @return (reps: (id, text) one per distinct text with id = min member,
     *          starEdges: (a=rep, b=member) for non-representative members) */

@@ -135,6 +135,102 @@ object SkewSalting {
     coldPairs.unionByName(hotPairs).dropDuplicates("a", "b")
   }
 
+  /** Distinct cross pairs (a from `left`, b from `right`) sharing the bucket
+    * key columns, skew-salted — the two-table analog of [[selfJoinPairs]]
+    * and the shape of the reference's actual blocking join (blocks are
+    * master × staging lists, R:.../deduplication/Blocking.scala `blocking()`;
+    * SURVEY §2 A11). Used for incremental dedup: pair a new import delta
+    * against the existing corpus without re-pairing the corpus with itself.
+    *
+    * Skew/shuffle design, mirroring the self-join path:
+    *
+    *  1. Per-side bucket counts via `groupBy(keys).count()` (partial agg —
+    *     no straggler on a viral key), inner-joined: only buckets present on
+    *     BOTH sides can produce a pair. In an incremental run most corpus
+    *     buckets have no delta row — they are the singleton analog and pure
+    *     shuffle waste, so rows of both sides are filtered to pairable
+    *     buckets MAP-SIDE by a broadcast bloom over the pairable key set
+    *     (FPs only admit rows that then join to nothing; no false
+    *     negatives), with a shuffle semi-join fallback past [[BloomMaxKeys]].
+    *  2. Hot buckets (left·right pair count > cap²) are salted
+    *     pair-preservingly: the BIGGER side of each hot bucket gets a
+    *     deterministic salt s ∈ [0, fanout), the smaller side is replicated
+    *     to every salt, and the join key becomes (bucket, salt) — every
+    *     (a, b) pair still meets exactly once, at the bigger row's salt.
+    *     Salting the bigger side caps a salted task at
+    *     max(bigger/fanout · smaller) pairs; a fixed-side choice would leave
+    *     the full bucket in one task whenever the viral side was the
+    *     replicated one.
+    *  3. Cold buckets take the plain equi-join; AQE skew-join mops up
+    *     residual imbalance.
+    */
+  def crossJoinPairs(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                     idCol: String, cap: Int, fanout: Int): DataFrame = {
+    val keys = keyCols.map(col)
+    val l = left.select(keys :+ col(idCol).as("id"): _*).localCheckpoint(false)
+    val r = right.select(keys :+ col(idCol).as("id"): _*).localCheckpoint(false)
+    val spark = l.sparkSession
+
+    val lc = l.groupBy(keys: _*).agg(count(lit(1)).as("lcount"))
+    val rc = r.groupBy(keys: _*).agg(count(lit(1)).as("rcount"))
+    // buckets that can pair at all, with both side sizes
+    val pairable = lc.join(rc, keyCols).localCheckpoint(false)
+
+    val st = pairable.agg(
+      count(lit(1)).as("pb"),
+      sum(col("lcount")).as("plr"), sum(col("rcount")).as("prr")).head()
+    val pairableBuckets = st.getLong(0)
+    if (pairableBuckets == 0L)
+      return l.where(lit(false)).select(col("id").as("a"), col("id").as("b"))
+    val liveRows = st.getLong(1) + st.getLong(2)
+
+    val totalRows = l.count() + r.count() // cheap: localCheckpointed row counts
+    val deadRows = totalRows - liveRows
+    val keyHash = xxhash64(keys: _*)
+    def keep(side: DataFrame): DataFrame =
+      if (deadRows < math.max(BloomMinSingletons, liveRows)) side
+      else if (pairableBuckets <= BloomMaxKeys) {
+        val bloom = pairable.stat.bloomFilter(keyHash, pairableBuckets, BloomFpp)
+        val bc = spark.sparkContext.broadcast(bloom)
+        val mightContain = udf((h: Long) => bc.value.mightContain(h))
+        side.where(mightContain(keyHash))
+      } else side.join(pairable.select(keys: _*), keyCols, "left_semi")
+    val (keptL, keptR) = (keep(l), keep(r))
+
+    val capPairs = cap.toLong * cap.toLong
+    val hot = pairable.where(col("lcount") * col("rcount") > capPairs)
+      .select(keys :+ (col("lcount") >= col("rcount")).as("left_bigger"): _*)
+      .localCheckpoint(false)
+    val hotKeys = hot.select(keys: _*)
+
+    val coldL = keptL.join(broadcast(hotKeys), keyCols, "left_anti")
+    val coldR = keptR.join(broadcast(hotKeys), keyCols, "left_anti")
+    val coldPairs = crossPairJoin(coldL, coldR, keyCols)
+
+    // hot path: per-bucket choice of which side salts vs replicates
+    val hotL = keptL.join(broadcast(hot), keyCols, "inner")
+    val hotR = keptR.join(broadcast(hot), keyCols, "inner")
+    def salted(side: DataFrame, saltsWhenBigger: Boolean): DataFrame = {
+      val bigger = if (saltsWhenBigger) col("left_bigger") else !col("left_bigger")
+      side.withColumn("salt", explode(
+        when(bigger, array(pmod(xxhash64(col("id")), lit(fanout.toLong))))
+          .otherwise(sequence(lit(0L), lit(fanout - 1L)))))
+    }
+    val hotPairs = crossPairJoin(
+      salted(hotL, saltsWhenBigger = true).drop("left_bigger"),
+      salted(hotR, saltsWhenBigger = false).drop("left_bigger"),
+      keyCols :+ "salt")
+
+    coldPairs.unionByName(hotPairs).dropDuplicates("a", "b")
+  }
+
+  private def crossPairJoin(l: DataFrame, r: DataFrame,
+                            joinCols: Seq[String]): DataFrame = {
+    val lhs = l.select(joinCols.map(col) :+ col("id").as("a"): _*)
+    val rhs = r.select(joinCols.map(col) :+ col("id").as("b"): _*)
+    lhs.join(rhs, joinCols).select(col("a"), col("b"))
+  }
+
   private def pairJoin(l: DataFrame, r: DataFrame, joinCols: Seq[String],
                        verifyCols: Seq[String]): DataFrame = {
     val lhs = l.select(joinCols.map(col) ++

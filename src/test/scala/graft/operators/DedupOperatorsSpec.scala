@@ -88,6 +88,78 @@ class DedupOperatorsSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     salted.size shouldBe (40 * 39 / 2 + 1 + 3)
   }
 
+  "SkewSalting.crossJoinPairs" should "equal brute force, salted and unsalted, with either side bigger" in {
+    // bucket 999: left bigger (60 × 10); bucket 7: right bigger (3 × 40);
+    // bucket 1: cold 1 × 1; buckets 3 / 2: one side only → no pairs
+    val left = ((0L until 60L).map(i => (999L, i)) ++
+      Seq((7L, 200L), (7L, 201L), (7L, 202L), (1L, 300L), (3L, 301L))).toDF("bucket", "id")
+    val right = ((1000L until 1010L).map(i => (999L, i)) ++
+      (2000L until 2040L).map(i => (7L, i)) ++
+      Seq((1L, 400L), (2L, 401L))).toDF("bucket", "id")
+    def run(cap: Int) =
+      SkewSalting.crossJoinPairs(left, right, Seq("bucket"), "id", cap, fanout = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bl = left.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val br = right.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = (for { a <- bl; b <- br; if a._1 == b._1 } yield (a._2, b._2)).toSet
+    val unsalted = run(cap = 100000) // nothing hot
+    val salted = run(cap = 5)        // both mixed-size buckets hot
+    salted shouldBe unsalted
+    unsalted shouldBe expect
+    expect.size shouldBe (60 * 10 + 3 * 40 + 1)
+  }
+
+  it should "match the cross-side subset of the self-join on real documents" in {
+    // the q41 shape: candidatePairsAgainst(master, staging) must equal the
+    // master×staging pairs hiding inside candidatePairs(master ∪ staging)
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val master = d.where(col("doc_id") % 4 =!= 0)
+    val staging = d.where(col("doc_id") % 4 === 0)
+    def bandsOf(df: org.apache.spark.sql.DataFrame) =
+      MinHashLsh.bands(MinHashLsh.signaturesFromText(df, "doc_id", "text"))
+    val cross = MinHashLsh.candidatePairsAgainst(bandsOf(master), bandsOf(staging))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val self = MinHashLsh.candidatePairs(bandsOf(d))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = self.collect {
+      case (a, b) if a % 4 != 0 && b % 4 == 0 => (a, b)
+      case (a, b) if a % 4 == 0 && b % 4 != 0 => (b, a)
+    }.toSet
+    cross shouldBe expected
+    cross should not be empty
+  }
+
+  "MinHashLsh.dedupEdgesAgainst" should "connect staging rows into master clusters" in {
+    // master: docsDf (base/nearDup/unrelated/exact-dup/tiny). staging: a
+    // fresh near-dup of base, an exact dup of base, an unmatched doc, and a
+    // staging-internal exact dup.
+    val staging = Seq(
+      (10L, base.replace("customer", "client")), // near-dup of master base
+      (11L, base),                               // exact dup of master base
+      (12L, "omega psi chi phi upsilon tau sigma rho pi omicron"),
+      (13L, base)                                // exact dup within staging
+    ).toDF("doc_id", "text")
+    val edges = MinHashLsh.dedupEdgesAgainst(docsDf, staging, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    edges should contain((0L, 10L)) // verified near-dup cross edge (reps)
+    edges should contain((0L, 11L)) // exact-text cross edge (reps)
+    edges should contain((11L, 13L)) // staging star edge
+    edges.flatMap(e => Set(e._1, e._2)) should not contain 12L
+    // staging ids only ever appear opposite master ids or inside staging
+    val masterIds = Set(0L, 1L, 2L, 3L, 4L)
+    all(edges.map(_._1)) should be < 14L
+    // CC over master's own edges ∪ cross edges assigns every staging row
+    val allEdges = MinHashLsh.dedupEdges(docsDf, "doc_id", "text")
+      .unionByName(edges.toSeq.toDF("a", "b"))
+    val ids = (masterIds ++ Set(10L, 11L, 12L, 13L)).toSeq.toDF("id")
+    val clusters = ConnectedComponents.run(spark, allEdges, Some(ids))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    clusters(10L) shouldBe 0L
+    clusters(11L) shouldBe 0L
+    clusters(13L) shouldBe 0L
+    clusters(12L) shouldBe 12L
+  }
+
   it should "never shuffle singleton-bucket rows into the pair join (round-3 plan property)" in {
     // 1.2M singleton buckets (above BloomMinSingletons, so the bloom
     // engages) + 500 buckets of 2. The round-2 formulation shuffled every
