@@ -60,28 +60,120 @@ object ImageDedupPipeline {
     })
   }
 
+  /** ONE windowed annotation pass over the scan — the exact-dup
+    * representative (rep = min id per (caption, bytes_hash), lossless
+    * collapse) and the caption representative (cid = min id per caption, the
+    * 3rd collapse layer: identical captions share identical
+    * signatures/L-grams, so the text paths run on DISTINCT captions only; a
+    * 10k-member viral caption otherwise produces C(10k,2)
+    * identical-signature LSH pairs). Two window mins over ONE exchange:
+    * hash-partitioning on `caption` satisfies the (caption, bytes_hash)
+    * clustering, so Catalyst plans a single shuffle — this replaces the
+    * previous groupBy+join exact-collapse, the caption-collapse groupBy and
+    * the member-map join (3 shuffles + 4 materializations → 1 + 1).
+    * `bytes` never enters the dedup graph (hashed at the door). */
+  private[pipeline] def annotate(input: DataFrame): DataFrame = {
+    val wCap = Window.partitionBy("caption")
+    val wGrp = Window.partitionBy("caption", "bytes_hash")
+    input.select(col("image_id"), lower(col("caption")).as("caption"),
+        col("phash"), xxhash64(col("bytes")).as("bytes_hash"))
+      .withColumn("cid", min("image_id").over(wCap))
+      .withColumn("rep", min("image_id").over(wGrp))
+  }
+
+  /** Shingle-HASH arrays (distinct, sorted longs) + rolling L-gram hashes,
+    * both computed ONCE per caption representative — the verify stage
+    * intersects hash arrays, never re-tokenizes a caption per pair. */
+  private[pipeline] def shingleGramTable(capReps: DataFrame): DataFrame = {
+    val t = graft.functions.TextHash.tokens(col("caption"))
+    capReps.select(col("cid").as("id"),
+        graft.functions.GraftExpressions.shingleHashes(t, ShingleK).as("shingles"),
+        graft.functions.GraftExpressions.gramHashes(t, SubstringL).as("grams"))
+      .where(col("shingles").isNotNull || col("grams").isNotNull)
+  }
+
+  /** Per-rep phash chunk rows for pigeonhole Hamming blocking WITHIN a
+    * caption group: (id, bucket = xxhash64(group, chunk_idx, chunk_val)).
+    * `group` is the caption-group key — `col("cid")` inside one table
+    * (cheaper: a long, never the string), `col("caption")` when buckets
+    * must align across two independently-annotated tables (incremental
+    * cross blocking; per-side cids are not comparable). Hash collisions can
+    * only ADD a candidate pair — every pair is re-verified by the full
+    * ladder, so the verified output is unchanged (FP-safe, never FN). */
+  private[pipeline] def phashChunks(reps: DataFrame, group: org.apache.spark.sql.Column): DataFrame = {
+    val chunkBits = PhashBits / HammingChunks
+    val mask = (1L << chunkBits) - 1L
+    reps
+      .select(col("image_id").as("id"), group.as("grp"), col("phash"),
+        explode(sequence(lit(0L), lit(HammingChunks - 1L))).as("chunk_idx"))
+      .withColumn("chunk_val",
+        expr(s"shiftright(phash, cast(chunk_idx * $chunkBits AS int)) & CAST($mask AS bigint)"))
+      .withColumn("bucket", xxhash64(col("grp"), col("chunk_idx"), col("chunk_val")))
+      .select(col("id"), col("bucket"))
+  }
+
+  /** Verify ladder (SURVEY §2 B9) over row-level candidate pairs:
+    * caption criterion (equality OR shingle-Jaccard ≥ τ OR shared L-gram,
+    * cheap → expensive so codegen short-circuits) AND image criterion
+    * (identical bytes OR phash Hamming ≤ max AND decoded PSNR ≥ min dB).
+    * Candidate provenance is never trusted — every check recomputes from
+    * the precomputed per-caption hash arrays. `bytes` joins in ONLY for
+    * pairs past both the caption criterion and the integer Hamming
+    * prefilter, semi-joined down to candidate ids first.
+    *
+    * @param cand     (a, b) row-level candidate pairs
+    * @param capt     (image_id, caption, bytes_hash, phash) for every id
+    *                 that can appear in `cand`
+    * @param shByRow  (image_id, shingles, grams) routed per row (consumed
+    *                 twice — pass it localCheckpoint'ed)
+    * @param bytesTbl (image_id, bytes) */
+  private[pipeline] def verifyLadder(cand: DataFrame, capt: DataFrame,
+                                     shByRow: DataFrame, bytesTbl: DataFrame): DataFrame = {
+    val withMeta = cand
+      .join(capt.select(col("image_id").as("a"), col("caption").as("cap_a"),
+        col("bytes_hash").as("bh_a"), col("phash").as("ph_a")), "a")
+      .join(capt.select(col("image_id").as("b"), col("caption").as("cap_b"),
+        col("bytes_hash").as("bh_b"), col("phash").as("ph_b")), "b")
+      .join(shByRow.select(col("image_id").as("a"), col("shingles").as("sh_a"),
+        col("grams").as("gr_a")), Seq("a"), "left")
+      .join(shByRow.select(col("image_id").as("b"), col("shingles").as("sh_b"),
+        col("grams").as("gr_b")), Seq("b"), "left")
+
+    val interSz = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+    val captionOk = (col("cap_a") === col("cap_b")) ||
+      (col("sh_a").isNotNull && col("sh_b").isNotNull &&
+        graft.functions.TextHash.jaccardGe(interSz,
+          size(col("sh_a")).cast("long"), size(col("sh_b")).cast("long"))) ||
+      coalesce(arrays_overlap(col("gr_a"), col("gr_b")), lit(false))
+
+    val captionPass = withMeta.where(captionOk)
+      .withColumn("bytes_eq", col("bh_a") === col("bh_b"))
+      .where(col("bytes_eq") ||
+        expr(s"bit_count(ph_a ^ ph_b) <= $HammingMax"))
+      .select(col("a"), col("b"), col("bytes_eq"))
+      .localCheckpoint(false)
+
+    // prune the heavy payload BEFORE it ever enters a shuffle: only rows
+    // that appear in a surviving candidate pair carry their bytes into the
+    // PSNR join (otherwise the full binary column is shuffled twice to
+    // serve a few thousand pairs — pure memory-bandwidth burn)
+    val candIds = captionPass.select(col("a").as("image_id"))
+      .unionByName(captionPass.select(col("b").as("image_id")))
+      .distinct()
+    val neededBytes = bytesTbl.join(candIds, Seq("image_id"), "left_semi")
+      .localCheckpoint(false)
+
+    captionPass
+      .join(neededBytes.select(col("image_id").as("a"), col("bytes").as("bytes_a")), "a")
+      .join(neededBytes.select(col("image_id").as("b"), col("bytes").as("bytes_b")), "b")
+      .where(col("bytes_eq") ||
+        psnrUdf(col("bytes_a"), col("bytes_b")) >= PsnrMinDb)
+      .select(col("a"), col("b"))
+  }
+
   private def runImpl(spark: SparkSession, input: DataFrame, ckpt: StageStore): DataFrame = {
 
-    // ---- stage: ONE windowed annotation pass over the scan — the
-    // exact-dup representative (rep = min id per (caption, bytes_hash),
-    // lossless collapse) and the caption representative (cid = min id per
-    // caption, the 3rd collapse layer: identical captions share identical
-    // signatures/L-grams, so the text paths run on DISTINCT captions only;
-    // a 10k-member viral caption otherwise produces C(10k,2)
-    // identical-signature LSH pairs). Two window mins over ONE exchange:
-    // hash-partitioning on `caption` satisfies the (caption, bytes_hash)
-    // clustering, so Catalyst plans a single shuffle — this replaces the
-    // previous groupBy+join exact-collapse, the caption-collapse groupBy
-    // and the member-map join (3 shuffles + 4 materializations → 1 + 1).
-    // `bytes` never enters the dedup graph (hashed at the door).
-    val annotated = ckpt.stage("s1_annotated") {
-      val wCap = Window.partitionBy("caption")
-      val wGrp = Window.partitionBy("caption", "bytes_hash")
-      input.select(col("image_id"), lower(col("caption")).as("caption"),
-          col("phash"), xxhash64(col("bytes")).as("bytes_hash"))
-        .withColumn("cid", min("image_id").over(wCap))
-        .withColumn("rep", min("image_id").over(wGrp))
-    }
+    val annotated = ckpt.stage("s1_annotated")(annotate(input))
     val starEdges = ckpt.stage("s1_star_edges") {
       annotated.where(col("image_id") =!= col("rep"))
         .select(col("rep").as("a"), col("image_id").as("b"))
@@ -92,16 +184,7 @@ object ImageDedupPipeline {
     val capReps = annotated.where(col("image_id") === col("cid"))
       .select(col("cid"), col("caption"))
 
-    // shingle-HASH arrays (distinct, sorted longs) + rolling L-gram hashes,
-    // both computed ONCE per caption representative — the verify stage
-    // intersects hash arrays, never re-tokenizes a caption per pair
-    val shingleTbl = ckpt.stage("s2_shingles") {
-      val t = graft.functions.TextHash.tokens(col("caption"))
-      capReps.select(col("cid").as("id"),
-          graft.functions.GraftExpressions.shingleHashes(t, ShingleK).as("shingles"),
-          graft.functions.GraftExpressions.gramHashes(t, SubstringL).as("grams"))
-        .where(col("shingles").isNotNull || col("grams").isNotNull)
-    }
+    val shingleTbl = ckpt.stage("s2_shingles")(shingleGramTable(capReps))
     val lshPairs = ckpt.stage("s3_lsh_pairs") {
       MinHashLsh.candidatePairs(
         MinHashLsh.bands(MinHashLsh.signaturesFromText(capReps, "cid", "caption")))
@@ -140,21 +223,10 @@ object ImageDedupPipeline {
     // can't: equal captions too short to shingle + near-identical images
     // (D3). The standalone image-only operator remains SimHashNearDup.
     val imgPairs = ckpt.stage("s5_img_pairs") {
-      val chunkBits = PhashBits / HammingChunks
-      val mask = (1L << chunkBits) - 1L
-      val b = reps
-        .select(col("image_id").as("id"), col("cid"), col("phash"),
-          explode(sequence(lit(0L), lit(HammingChunks - 1L))).as("chunk_idx"))
-        .withColumn("chunk_val",
-          expr(s"shiftright(phash, cast(chunk_idx * $chunkBits AS int)) & CAST($mask AS bigint)"))
-        // caption groups are identified by cid (the caption-rep id), so the
-        // blocking key never shuffles the caption STRING; the whole
-        // (cid, chunk_idx, chunk_val) key folds into one 8-byte xxhash64 —
-        // a hash collision can only ADD a candidate pair, and every
-        // candidate is re-verified by the full caption+image ladder below,
-        // so the verified output is unchanged (FP-safe, never FN).
-        .withColumn("bucket", xxhash64(col("cid"), col("chunk_idx"), col("chunk_val")))
-      SkewSalting.selfJoinPairs(b, Seq("bucket"), "id", SaltCap, SaltFanout)
+      // caption groups are identified by cid (the caption-rep id), so the
+      // blocking key never shuffles the caption STRING
+      SkewSalting.selfJoinPairs(phashChunks(reps, col("cid")),
+          Seq("bucket"), "id", SaltCap, SaltFanout)
         .withColumn("src", lit("phash"))
     }
 
@@ -162,64 +234,16 @@ object ImageDedupPipeline {
     val verified = ckpt.stage("s6_verified_edges") {
       val cand = textPairs.unionByName(imgPairs)
         .select("a", "b").dropDuplicates("a", "b")
-      val capt = reps.select(col("image_id"), col("caption"),
-        col("bytes_hash"), col("phash"))
-      val bytesTbl = input.select(col("image_id"), col("bytes"))
-
       // shingle/gram hash arrays are keyed by caption-rep id — route
       // row → cid → arrays (computed once per caption, never per pair)
       val shByRow = memberMap
         .join(shingleTbl.select(col("id").as("cid"), col("shingles"), col("grams")), "cid")
         .select(col("image_id"), col("shingles"), col("grams"))
         .localCheckpoint(false) // joined twice (a and b side)
-
-      val withMeta = cand
-        .join(capt.select(col("image_id").as("a"), col("caption").as("cap_a"),
-          col("bytes_hash").as("bh_a"), col("phash").as("ph_a")), "a")
-        .join(capt.select(col("image_id").as("b"), col("caption").as("cap_b"),
-          col("bytes_hash").as("bh_b"), col("phash").as("ph_b")), "b")
-        .join(shByRow.select(col("image_id").as("a"), col("shingles").as("sh_a"),
-          col("grams").as("gr_a")), Seq("a"), "left")
-        .join(shByRow.select(col("image_id").as("b"), col("shingles").as("sh_b"),
-          col("grams").as("gr_b")), Seq("b"), "left")
-
-      val interSz = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
-      // caption criterion, cheap → expensive (|| short-circuits in codegen);
-      // the substring check is re-verified per pair on the PRECOMPUTED
-      // l-gram hash arrays — candidate provenance is never trusted
-      val captionOk = (col("cap_a") === col("cap_b")) ||
-        (col("sh_a").isNotNull && col("sh_b").isNotNull &&
-          graft.functions.TextHash.jaccardGe(interSz,
-            size(col("sh_a")).cast("long"), size(col("sh_b")).cast("long"))) ||
-        coalesce(arrays_overlap(col("gr_a"), col("gr_b")), lit(false))
-
-      // image criterion ladder: identical bytes → phash Hamming prefilter
-      // (integer, kills e.g. the viral caption-equal mega-bucket without a
-      // single decode) → PSNR on what survives. bytes join happens only for
-      // pairs past BOTH the caption criterion and the Hamming prefilter.
-      val captionPass = withMeta.where(captionOk)
-        .withColumn("bytes_eq", col("bh_a") === col("bh_b"))
-        .where(col("bytes_eq") ||
-          expr(s"bit_count(ph_a ^ ph_b) <= $HammingMax"))
-        .select(col("a"), col("b"), col("bytes_eq"))
-        .localCheckpoint(false)
-
-      // prune the heavy payload BEFORE it ever enters a shuffle: only rows
-      // that appear in a surviving candidate pair carry their bytes into
-      // the PSNR join (otherwise the full binary column is shuffled twice
-      // to serve a few thousand pairs — pure memory-bandwidth burn)
-      val candIds = captionPass.select(col("a").as("image_id"))
-        .unionByName(captionPass.select(col("b").as("image_id")))
-        .distinct()
-      val neededBytes = bytesTbl.join(candIds, Seq("image_id"), "left_semi")
-        .localCheckpoint(false)
-
-      captionPass
-        .join(neededBytes.select(col("image_id").as("a"), col("bytes").as("bytes_a")), "a")
-        .join(neededBytes.select(col("image_id").as("b"), col("bytes").as("bytes_b")), "b")
-        .where(col("bytes_eq") ||
-          psnrUdf(col("bytes_a"), col("bytes_b")) >= PsnrMinDb)
-        .select(col("a"), col("b"))
+      verifyLadder(cand,
+        reps.select(col("image_id"), col("caption"), col("bytes_hash"), col("phash")),
+        shByRow,
+        input.select(col("image_id"), col("bytes")))
     }
 
     // ---- stage: connected components over verified ∪ exact-star edges;
