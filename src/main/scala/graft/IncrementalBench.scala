@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.images.SyntheticImages
+import graft.pipeline.{ImageDedupPipeline, IncrementalImageDedup, StageCheckpoint}
+
+/** Measures the incremental-import claim: assigning a small delta into an
+  * already-clustered corpus must beat a full re-run over corpus ∪ delta —
+  * cold (corpus-side stages computed into a fresh durable store) and warm
+  * (second import against the same store: corpus stages resumed, only
+  * delta-dependent work runs). Incremental runs pay durable parquet stage
+  * writes that the full runDirect does not — the comparison is conservative.
+  *
+  * Protocol hygiene (same as ScalingBench): every measured phase runs in a
+  * FRESH SparkSession — a shared JVM session accumulates localCheckpoint
+  * blocks from earlier phases and was measured to slow later phases by up
+  * to 2× (block-manager memory pressure), poisoning the comparison. The
+  * prior corpus clustering is handed to the import phases as a parquet
+  * table (reading it is part of the measured import, as in production).
+  *
+  * Delta selector (GRAFT_BENCH_DELTA_PCT): 10 → planted dups D2+D0 per
+  * 20-id block (includes a delta-internal pair); 5 → D0 only; 1 → D0 from
+  * every 5th block. All keep cross-side planted dups so recall exercises
+  * the cross path.
+  *
+  * Usage: GRAFT_BENCH_N=1000000 GRAFT_BENCH_DELTA_PCT=5 \
+  *        SPARK_DRIVER_MEM=24g tools/run_main.sh graft.IncrementalBench
+  * Prints one JSON line.
+  */
+object IncrementalBench {
+
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.get("GRAFT_BENCH_N").map(_.toLong).getOrElse(200000L)
+    val cores = sys.env.getOrElse("GRAFT_BENCH_CORES", "8").toInt
+    val deltaPct = sys.env.getOrElse("GRAFT_BENCH_DELTA_PCT", "10").toInt
+
+    val inputPath = s"/tmp/graft_scaling_input_$n"
+    if (!new java.io.File(s"$inputPath/_SUCCESS").exists()) {
+      val s = session(cores)
+      try SyntheticImages.generate(s, n).toDF()
+        .write.mode("overwrite").parquet(inputPath)
+      finally s.stop()
+    }
+
+    def isDelta(idNum: org.apache.spark.sql.Column) = deltaPct match {
+      case 10 => idNum % 20 >= 18
+      case 5  => idNum % 20 === 19
+      case 1  => (idNum % 20 === 19) &&
+        (expr("cast(substring(image_id, 5) as bigint) div 20") % 5 === 0)
+      case p  => throw new IllegalArgumentException(s"unsupported delta pct $p")
+    }
+    def split(all: DataFrame): (DataFrame, DataFrame) = {
+      val idNum = expr("cast(substring(image_id, 5) as bigint)")
+      (all.where(!isDelta(idNum)), all.where(isDelta(idNum)))
+    }
+
+    /** Run `body` in a fresh session, return (wall of the timed part, result). */
+    def phase[T](label: String)(body: SparkSession => T): T = {
+      val spark = session(cores)
+      try {
+        val t0 = System.nanoTime()
+        val out = body(spark)
+        System.err.println(f"[inc-bench] $label%-10s ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        out
+      } finally spark.stop()
+    }
+
+    // JIT warmup: one full run, discarded (own session)
+    phase("warmup") { s => ImageDedupPipeline.runDirect(s, s.read.parquet(inputPath)).count() }
+
+    val fullSec = phase("full") { s =>
+      val t0 = System.nanoTime()
+      ImageDedupPipeline.runDirect(s, s.read.parquet(inputPath)).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // prior state (untimed work, but its own session): yesterday's corpus
+    // clustering, persisted where the import phases will read it
+    val clustersPath = s"/tmp/graft_inc_bench_clusters_${n}_d$deltaPct"
+    phase("prep") { s =>
+      val (corpus, _) = split(s.read.parquet(inputPath))
+      ImageDedupPipeline.runDirect(s, corpus)
+        .write.mode("overwrite").parquet(clustersPath)
+    }
+
+    val ckptDir = s"/tmp/graft_inc_bench_${n}_d$deltaPct"
+    deleteRecursively(new java.io.File(ckptDir))
+    def importPhase(label: String, importId: String): (Double, Long, Double) =
+      phase(label) { s =>
+        val (corpus, delta) = split(s.read.parquet(inputPath))
+        val t0 = System.nanoTime()
+        val out = IncrementalImageDedup.run(s, corpus,
+            s.read.parquet(clustersPath), delta,
+            new StageCheckpoint(s, ckptDir), importId)
+          .localCheckpoint()
+        out.count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val (recall, _, _) = Main.pairRecall(out, SyntheticImages.truth(s, n).toDF())
+        (wall, delta.count(), recall)
+      }
+
+    val (coldSec, deltaRows, recallCold) = importPhase("inc-cold", "imp_cold")
+    val (warmSec, _, recallWarm) = importPhase("inc-warm", "imp_warm")
+
+    println(s"""{"bench":"incremental","n":$n,"delta_pct":$deltaPct,"delta_rows":$deltaRows,"cores":$cores,"full_sec":$fullSec,"inc_cold_sec":$coldSec,"inc_warm_sec":$warmSec,"speedup_cold":${fullSec / coldSec},"speedup_warm":${fullSec / warmSec},"recall_cold":$recallCold,"recall_warm":$recallWarm}""")
+  }
+
+  private def session(cores: Int): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft-incremental-bench")
+      .config("spark.sql.shuffle.partitions", (cores * 4).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+}

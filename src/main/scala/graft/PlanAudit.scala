@@ -12,7 +12,7 @@ object PlanAudit {
     val names = if (args.length > 1) args.drop(1).toSet else
       Set("q06_lsh_pairs", "q08_dedup_clusters", "q17_ann_topk", "q20_join_revenue",
         "q12_substring_pairs", "q30_blocking_schemes", "q36_embedding_near_dup",
-        "q37_ann_banded_topk", "q40_ann_ivf_topk")
+        "q37_ann_banded_topk", "q40_ann_ivf_topk", "q41_cross_dedup_pairs")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -135,73 +135,79 @@ object SkewSalting {
     coldPairs.unionByName(hotPairs).dropDuplicates("a", "b")
   }
 
+  /** A bloom false positive on the CROSS join admits a left row that then
+    * rides the bucket-count shuffle and the pair join before matching
+    * nothing — costlier than the self-join case (where an FP singleton dies
+    * at the join), so spend the extra ~0.5 byte/key for a tighter filter. */
+  val BloomFppCross: Double = 0.01
+
   /** Distinct cross pairs (a from `left`, b from `right`) sharing the bucket
     * key columns, skew-salted — the two-table analog of [[selfJoinPairs]]
     * and the shape of the reference's actual blocking join (blocks are
     * master × staging lists, R:.../deduplication/Blocking.scala `blocking()`;
     * SURVEY §2 A11). Used for incremental dedup: pair a new import delta
     * against the existing corpus without re-pairing the corpus with itself.
+    * `right` should be the DELTA (smaller) side — semantics don't depend on
+    * it, but the pruning below is engineered for a big left / small right.
     *
-    * Skew/shuffle design, mirroring the self-join path:
+    * Skew/shuffle design — the asymmetry is the point. A corpus-side
+    * `groupBy(keys).count()` would itself shuffle ~one record per corpus
+    * bucket, spending exactly the shuffle the filter is meant to save
+    * (measured: it made the bloom a net zero). So nothing corpus-wide is
+    * ever aggregated:
     *
-    *  1. Per-side bucket counts via `groupBy(keys).count()` (partial agg —
-    *     no straggler on a viral key), inner-joined: only buckets present on
-    *     BOTH sides can produce a pair. In an incremental run most corpus
-    *     buckets have no delta row — they are the singleton analog and pure
-    *     shuffle waste, so rows of both sides are filtered to pairable
-    *     buckets MAP-SIDE by a broadcast bloom over the pairable key set
-    *     (FPs only admit rows that then join to nothing; no false
-    *     negatives), with a shuffle semi-join fallback past [[BloomMaxKeys]].
-    *  2. Hot buckets (left·right pair count > cap²) are salted
+    *  1. The RIGHT side's distinct bucket set (delta-sized) builds a
+    *     broadcast bloom ([[BloomFppCross]]); corpus rows outside the
+    *     delta's bucket footprint die MAP-SIDE before any shuffle. FPs only
+    *     admit rows that join to nothing (never FN — the pair set is
+    *     exact). Past [[BloomMaxKeys]] right buckets, a shuffle semi-join
+    *     takes over.
+    *  2. Bucket counts for hot detection are computed on the FILTERED left
+    *     side (≈ delta footprint + FP noise) and the right side — both
+    *     delta-scaled `groupBy` partial aggs, no viral-key straggler.
+    *  3. Hot buckets (left·right pair count > cap²) are salted
     *     pair-preservingly: the BIGGER side of each hot bucket gets a
     *     deterministic salt s ∈ [0, fanout), the smaller side is replicated
     *     to every salt, and the join key becomes (bucket, salt) — every
     *     (a, b) pair still meets exactly once, at the bigger row's salt.
     *     Salting the bigger side caps a salted task at
-    *     max(bigger/fanout · smaller) pairs; a fixed-side choice would leave
-    *     the full bucket in one task whenever the viral side was the
+    *     max(bigger/fanout · smaller) pairs; a fixed-side choice would
+    *     leave the full bucket in one task whenever the viral side was the
     *     replicated one.
-    *  3. Cold buckets take the plain equi-join; AQE skew-join mops up
+    *  4. Cold buckets take the plain equi-join; AQE skew-join mops up
     *     residual imbalance.
     */
   def crossJoinPairs(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                      idCol: String, cap: Int, fanout: Int): DataFrame = {
     val keys = keyCols.map(col)
-    val l = left.select(keys :+ col(idCol).as("id"): _*).localCheckpoint(false)
+    val l = left.select(keys :+ col(idCol).as("id"): _*)
     val r = right.select(keys :+ col(idCol).as("id"): _*).localCheckpoint(false)
-    val spark = l.sparkSession
+    val spark = r.sparkSession
 
-    val lc = l.groupBy(keys: _*).agg(count(lit(1)).as("lcount"))
-    val rc = r.groupBy(keys: _*).agg(count(lit(1)).as("rcount"))
-    // buckets that can pair at all, with both side sizes
-    val pairable = lc.join(rc, keyCols).localCheckpoint(false)
-
-    val st = pairable.agg(
-      count(lit(1)).as("pb"),
-      sum(col("lcount")).as("plr"), sum(col("rcount")).as("prr")).head()
-    val pairableBuckets = st.getLong(0)
-    if (pairableBuckets == 0L)
-      return l.where(lit(false)).select(col("id").as("a"), col("id").as("b"))
-    val liveRows = st.getLong(1) + st.getLong(2)
-
-    val totalRows = l.count() + r.count() // cheap: localCheckpointed row counts
-    val deadRows = totalRows - liveRows
+    // delta bucket footprint → map-side filter of the corpus side
+    val rKeys = r.select(keys: _*).distinct().localCheckpoint(false)
+    val rBuckets = rKeys.count()
+    if (rBuckets == 0L)
+      return r.where(lit(false)).select(col("id").as("a"), col("id").as("b"))
     val keyHash = xxhash64(keys: _*)
-    def keep(side: DataFrame): DataFrame =
-      if (deadRows < math.max(BloomMinSingletons, liveRows)) side
-      else if (pairableBuckets <= BloomMaxKeys) {
-        val bloom = pairable.stat.bloomFilter(keyHash, pairableBuckets, BloomFpp)
-        val bc = spark.sparkContext.broadcast(bloom)
-        val mightContain = udf((h: Long) => bc.value.mightContain(h))
-        side.where(mightContain(keyHash))
-      } else side.join(pairable.select(keys: _*), keyCols, "left_semi")
-    val (keptL, keptR) = (keep(l), keep(r))
+    val keptL = (if (rBuckets <= BloomMaxKeys) {
+      val bloom = rKeys.stat.bloomFilter(keyHash, rBuckets, BloomFppCross)
+      val bc = spark.sparkContext.broadcast(bloom)
+      val mightContain = udf((h: Long) => bc.value.mightContain(h))
+      l.where(mightContain(keyHash))
+    } else l.join(rKeys, keyCols, "left_semi")).localCheckpoint(false)
+
+    // both counts are delta-scaled now; pairable = both sides present
+    val lc = keptL.groupBy(keys: _*).agg(count(lit(1)).as("lcount"))
+    val rc = r.groupBy(keys: _*).agg(count(lit(1)).as("rcount"))
+    val pairable = lc.join(rc, keyCols).localCheckpoint(false)
 
     val capPairs = cap.toLong * cap.toLong
     val hot = pairable.where(col("lcount") * col("rcount") > capPairs)
       .select(keys :+ (col("lcount") >= col("rcount")).as("left_bigger"): _*)
       .localCheckpoint(false)
     val hotKeys = hot.select(keys: _*)
+    val keptR = r
 
     val coldL = keptL.join(broadcast(hotKeys), keyCols, "left_anti")
     val coldR = keptR.join(broadcast(hotKeys), keyCols, "left_anti")

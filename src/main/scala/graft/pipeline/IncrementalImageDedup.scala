@@ -49,13 +49,26 @@ object IncrementalImageDedup {
   /** @param corpus         full prior table (input_hint schema)
     * @param corpusClusters (image_id, cluster_id) from the prior run
     * @param delta          new rows (input_hint schema)
+    * @param importId       namespace for delta-dependent stage names: corpus
+    *                       stages keep fixed names (reused across imports of
+    *                       the same corpus snapshot), everything downstream
+    *                       of the delta is keyed per import so successive
+    *                       daily deltas against one durable store never
+    *                       collide (CC's cc_edges_<i> included)
     * @return (image_id, cluster_id) for every corpus AND delta row */
   def run(spark: SparkSession, corpus: DataFrame, corpusClusters: DataFrame,
-          delta: DataFrame, ckpt: StageStore): DataFrame = {
+          delta: DataFrame, ckpt: StageStore, importId: String = "i0"): DataFrame = {
+
+    // per-import namespace for every delta-dependent stage
+    val imp = new StageStore {
+      def stage(name: String)(compute: => DataFrame): DataFrame =
+        ckpt.stage(s"${importId}_$name")(compute)
+      override def isDone(name: String): Boolean = ckpt.isDone(s"${importId}_$name")
+    }
 
     // ---- per-side annotation (corpus side reusable across imports) ----
     val annC = ckpt.stage("inc_corpus_annotated")(ImageDedupPipeline.annotate(corpus))
-    val annD = ckpt.stage("inc_delta_annotated")(ImageDedupPipeline.annotate(delta))
+    val annD = imp.stage("inc_delta_annotated")(ImageDedupPipeline.annotate(delta))
     val repsC = annC.where(col("image_id") === col("rep"))
     val repsD = annD.where(col("image_id") === col("rep"))
     val capRepsC = annC.where(col("image_id") === col("cid")).select(col("cid"), col("caption"))
@@ -66,9 +79,12 @@ object IncrementalImageDedup {
     val memberD = repsD.select(col("cid"), col("image_id"))
 
     val shC = ckpt.stage("inc_corpus_shingles")(ImageDedupPipeline.shingleGramTable(capRepsC))
-    val shD = ckpt.stage("inc_delta_shingles")(ImageDedupPipeline.shingleGramTable(capRepsD))
+    val shD = imp.stage("inc_delta_shingles")(ImageDedupPipeline.shingleGramTable(capRepsD))
 
-    // ---- caption-level candidates (cid, cid) ----
+    // ---- caption-level candidates (cid, cid). The corpus-side signature
+    // tables (LSH bands, L-gram hashes, phash chunks) are the heavy linear
+    // CPU of an import — staged under corpus-keyed names so a warm import
+    // re-reads columnar snapshots instead of re-hashing the corpus. ----
     def bandsOf(capReps: DataFrame) = MinHashLsh.bands(
       MinHashLsh.signaturesFromText(capReps, "cid", "caption"))
     def gramsOf(capReps: DataFrame) = capReps.select(col("cid").as("id"),
@@ -76,12 +92,24 @@ object IncrementalImageDedup {
           graft.functions.TextHash.tokens(col("caption")), SubstringL)).as("gram_hash"))
       .distinct()
 
-    val capCross = ckpt.stage("inc_cap_cross_pairs") {
-      MinHashLsh.candidatePairsAgainst(bandsOf(capRepsC), bandsOf(capRepsD))
-        .unionByName(SkewSalting.crossJoinPairs(gramsOf(capRepsC), gramsOf(capRepsD),
+    // corpus bands are staged pre-FOLDED to (bucket, id) — two longs per
+    // row instead of three; this snapshot is the largest thing a warm
+    // import reads (32 band rows per caption), so a third off its width is
+    // a third off the import's dominant scan
+    def foldBands(b: DataFrame): DataFrame = b.select(
+      (col("band_idx") * lit(P) + col("band_hash")).as("bucket"), col("id"))
+    val bandC = ckpt.stage("inc_corpus_bands")(foldBands(bandsOf(capRepsC)))
+    val gramC = ckpt.stage("inc_corpus_grams")(gramsOf(capRepsC))
+    val chunkC = ckpt.stage("inc_corpus_phchunks")(
+      ImageDedupPipeline.phashChunks(repsC, col("caption")))
+
+    val capCross = imp.stage("inc_cap_cross_pairs") {
+      SkewSalting.crossJoinPairs(bandC, foldBands(bandsOf(capRepsD)),
+          Seq("bucket"), "id", SaltCap, SaltFanout)
+        .unionByName(SkewSalting.crossJoinPairs(gramC, gramsOf(capRepsD),
           Seq("gram_hash"), "id", SaltCap, SaltFanout))
     }
-    val capSelfD = ckpt.stage("inc_cap_delta_pairs") {
+    val capSelfD = imp.stage("inc_cap_delta_pairs") {
       MinHashLsh.candidatePairs(bandsOf(capRepsD))
         .unionByName(SkewSalting.selfJoinPairs(gramsOf(capRepsD),
           Seq("gram_hash"), "id", SaltCap, SaltFanout))
@@ -103,7 +131,7 @@ object IncrementalImageDedup {
     // comparable); delta-self keys on the cheaper long cid like the full
     // pipeline.
     val phCross = SkewSalting.crossJoinPairs(
-      ImageDedupPipeline.phashChunks(repsC, col("caption")),
+      chunkC,
       ImageDedupPipeline.phashChunks(repsD, col("caption")),
       Seq("bucket"), "id", SaltCap, SaltFanout)
     val phSelfD = SkewSalting.selfJoinPairs(
@@ -112,16 +140,22 @@ object IncrementalImageDedup {
 
     // ---- ONE verify ladder over all candidates, with per-side metadata
     // unioned (ids are globally unique) ----
-    val verified = ckpt.stage("inc_verified_edges") {
+    val verified = imp.stage("inc_verified_edges") {
       val cand = crossRows.unionByName(selfRowsD)
         .unionByName(phCross).unionByName(phSelfD)
         .dropDuplicates("a", "b")
+        .localCheckpoint(false) // consumed by candIds AND the ladder
       val capt = repsC.unionByName(repsD)
         .select(col("image_id"), col("caption"), col("bytes_hash"), col("phash"))
-      val shByRow = memberC
-        .join(shC.select(col("id").as("cid"), col("shingles"), col("grams")), "cid")
-        .unionByName(memberD
-          .join(shD.select(col("id").as("cid"), col("shingles"), col("grams")), "cid"))
+      // the ladder only consults rows that appear in a candidate pair —
+      // semi-filter BEFORE the member⋈shingle join, otherwise this
+      // materializes a corpus-wide join on every import
+      val candIds = cand.select(col("a").as("image_id"))
+        .unionByName(cand.select(col("b").as("image_id"))).distinct()
+      def routed(member: DataFrame, sh: DataFrame): DataFrame =
+        member.join(candIds, Seq("image_id"), "left_semi")
+          .join(sh.select(col("id").as("cid"), col("shingles"), col("grams")), "cid")
+      val shByRow = routed(memberC, shC).unionByName(routed(memberD, shD))
         .select(col("image_id"), col("shingles"), col("grams"))
         .localCheckpoint(false)
       val bytesTbl = corpus.select(col("image_id"), col("bytes"))
@@ -129,24 +163,44 @@ object IncrementalImageDedup {
       ImageDedupPipeline.verifyLadder(cand, capt, shByRow, bytesTbl)
     }
 
-    // exact cross dups short-circuit the ladder: identical (caption,
-    // bytes_hash) class reps on the two sides are duplicates by definition
-    val exactCross = repsC.select(col("caption"), col("bytes_hash"), col("image_id").as("a"))
-      .join(repsD.select(col("caption"), col("bytes_hash"), col("image_id").as("b")),
-        Seq("caption", "bytes_hash"))
-      .select(col("a"), col("b"))
+    // (no separate exact-cross join: a cross-side exact dup shares caption
+    // AND phash, so it is always a phash-chunk cross candidate within its
+    // caption group and the ladder verifies it via bytes_eq — a dedicated
+    // (caption, bytes_hash) equi-join would re-shuffle the corpus reps
+    // every import to find pairs the candidate paths already find)
 
-    // ---- clusters: prior corpus assignment becomes edges; CC unions in
-    // everything the delta introduced ----
-    ckpt.stage("inc_clusters") {
-      val corpusEdges = corpusClusters.where(col("image_id") =!= col("cluster_id"))
+    // ---- clusters: connected components over the AFFECTED subgraph only.
+    // An import must not pay a corpus-scale iterative CC: new edges touch a
+    // delta-scaled set of ids; expanding touched corpus ids to their full
+    // prior clusters (two broadcast-able semi-joins — linear map-side scans
+    // of the cluster table, no iteration) closes the subgraph, CC runs on
+    // that, and every untouched corpus row keeps its prior assignment
+    // verbatim. Labels stay min-member ids, so the output is identical to a
+    // full re-run's clustering (pinned by IncrementalImageDedupSpec). ----
+    imp.stage("inc_clusters") {
+      val newEdges = verified.select("a", "b")
+        .unionByName(starD)
+        .localCheckpoint(false)
+      val touched = newEdges.select(col("a").as("image_id"))
+        .unionByName(newEdges.select(col("b").as("image_id"))).distinct()
+      val touchedClusters = corpusClusters
+        .join(touched, Seq("image_id"), "left_semi")
+        .select(col("cluster_id")).distinct()
+      val affectedCorpus = corpusClusters
+        .join(touchedClusters, Seq("cluster_id"), "left_semi")
+        .localCheckpoint(false) // consumed by edges, ids and the anti-join
+      val priorEdges = affectedCorpus.where(col("image_id") =!= col("cluster_id"))
         .select(col("cluster_id").as("a"), col("image_id").as("b"))
-      val edges = verified.select("a", "b")
-        .unionByName(starD).unionByName(exactCross).unionByName(corpusEdges)
-      val ids = corpus.select(col("image_id").as("id"))
+      val ids = affectedCorpus.select(col("image_id").as("id"))
         .unionByName(delta.select(col("image_id").as("id")))
-      ConnectedComponents.run(spark, edges, Some(ids), store = Some(ckpt))
+        .distinct()
+      val reclustered = ConnectedComponents.run(spark,
+          newEdges.unionByName(priorEdges), Some(ids), store = Some(imp))
         .select(col("id").as("image_id"), col("cluster_id"))
+      val untouched = corpusClusters
+        .join(affectedCorpus.select(col("image_id")), Seq("image_id"), "left_anti")
+        .select(col("image_id"), col("cluster_id"))
+      reclustered.unionByName(untouched)
     }
   }
 }

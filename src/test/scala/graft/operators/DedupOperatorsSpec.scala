@@ -129,6 +129,39 @@ class DedupOperatorsSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     cross should not be empty
   }
 
+  it should "never shuffle corpus rows from buckets with no delta row (incremental plan property)" in {
+    // 1.2M corpus-only buckets + 500 buckets shared with the delta. The
+    // naive cross join shuffles the whole corpus side (~1.2M+ records);
+    // with the pairable-bucket bloom only multi-side buckets (plus the
+    // count partial-aggs and ~3% FPs) may shuffle.
+    val corpus = spark.range(0L, 1200500L)
+      .select(col("id"), (col("id") + 10000000L).as("bucket"))
+      .repartition(8).localCheckpoint()
+    val delta = spark.range(0L, 500L)
+      .select((col("id") + 5000000L).as("id"), (col("id") + 10000000L + 1200000L).as("bucket"))
+      .repartition(4).localCheckpoint()
+    val written = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null && t.taskMetrics.shuffleWriteMetrics != null)
+          written.addAndGet(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val pairs = SkewSalting.crossJoinPairs(corpus, delta, Seq("bucket"), "id",
+          SaltCap, SaltFanout)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      var last = -1L
+      var spins = 0
+      while (written.get() != last && spins < 40) {
+        last = written.get(); Thread.sleep(250); spins += 1
+      }
+      pairs shouldBe (0L until 500L).map(i => (1200000L + i, 5000000L + i)).toSet
+      info(s"shuffle records written = ${written.get()} (naive cross join: ~2.4M)")
+      written.get() should be < 1000000L
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   "MinHashLsh.dedupEdgesAgainst" should "connect staging rows into master clusters" in {
     // master: docsDf (base/nearDup/unrelated/exact-dup/tiny). staging: a
     // fresh near-dup of base, an exact dup of base, an unmatched doc, and a

@@ -31,6 +31,35 @@ class IncrementalImageDedupSpec extends AnyFlatSpec with Matchers with SparkTest
     inc shouldBe fullClusters
   }
 
+  it should "serve successive imports from one durable store without cross-import pollution" in {
+    val dir = java.nio.file.Files.createTempDirectory("inc_multi_import").toString
+    val ckpt = new StageCheckpoint(spark, dir)
+    val corpusClusters = ImageDedupPipeline.runDirect(spark, corpus).localCheckpoint()
+    val delta1 = all.where(idNum % 20 === 18).localCheckpoint()
+    val delta2 = all.where(idNum % 20 === 19).localCheckpoint()
+
+    val out1 = IncrementalImageDedup.run(spark, corpus, corpusClusters, delta1, ckpt, "d1")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // corpus-side stages are now committed — the second import must reuse
+    // them (isDone) while computing its own delta stages under a fresh
+    // namespace instead of resuming d1's
+    ckpt.isDone("inc_corpus_annotated") shouldBe true
+    ckpt.isDone("d2_inc_delta_annotated") shouldBe false
+    val out2 = IncrementalImageDedup.run(spark, corpus, corpusClusters, delta2,
+        new StageCheckpoint(spark, dir), "d2")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+    // each import assigns exactly corpus ∪ its own delta
+    out1.keySet shouldBe (corpus.select("image_id").collect().map(_.getString(0)).toSet
+      ++ delta1.select("image_id").collect().map(_.getString(0)))
+    out2.keySet shouldBe (corpus.select("image_id").collect().map(_.getString(0)).toSet
+      ++ delta2.select("image_id").collect().map(_.getString(0)))
+    // planted truth: id%20==18 (d1) and ==19 (d2) are dups of their base
+    val base18 = SyntheticImages.imageId(18L - 18L)
+    out1(SyntheticImages.imageId(18L)) shouldBe out1(base18)
+    out2(SyntheticImages.imageId(19L)) shouldBe out2(base18)
+  }
+
   it should "achieve recall and precision 1.0 against the planted truth" in {
     val corpusClusters = ImageDedupPipeline.runDirect(spark, corpus)
     val inc = IncrementalImageDedup.runDirect(spark, corpus, corpusClusters, delta)
