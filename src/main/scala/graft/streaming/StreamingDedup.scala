@@ -120,4 +120,25 @@ object StreamingDedup {
       .where(col("id") =!= col("corpus_id"))
       .select(col("id"), col("corpus_id"), col("band_idx"))
   }
+
+  /** [[nearDupAgainstCorpus]] against the batch engine's DURABLE corpus
+    * artifact: the folded `(bucket, id)` band snapshot that
+    * [[graft.pipeline.IncrementalImageDedup]] stages as
+    * `inc_corpus_bands` — streaming ingest and batch delta imports share
+    * one corpus-side table, so refreshing the snapshot after an import
+    * also refreshes what the stream collides against. Stateless
+    * stream-static join on the single long bucket key. */
+  def nearDupAgainstCorpusSnapshot(stream: DataFrame, foldedCorpusBands: DataFrame,
+                                   idCol: String, textCol: String): DataFrame = {
+    val bands = graft.operators.MinHashLsh.bands(
+        graft.operators.MinHashLsh.signatures(
+          graft.operators.MinHashLsh.shingleTable(stream, idCol, textCol)))
+      .select(col("id"),
+        (col("band_idx") * lit(graft.config.GoldenConfig.P) + col("band_hash")).as("bucket"))
+    bands.join(
+        foldedCorpusBands.select(col("bucket"), col("id").as("corpus_id")),
+        Seq("bucket"))
+      .where(col("id") =!= col("corpus_id"))
+      .select(col("id"), col("corpus_id"), col("bucket"))
+  }
 }

@@ -113,4 +113,26 @@ class StreamingDedupSpec extends AnyFlatSpec with Matchers with SparkTestBase {
       rows shouldBe Set((1L, 100L))
     } finally q.stop()
   }
+
+  "nearDupAgainstCorpusSnapshot" should "collide with the folded band snapshot the batch import stages" in {
+    implicit val sqlCtx = spark.sqlContext
+    // the snapshot shape IncrementalImageDedup persists as inc_corpus_bands
+    val corpus = Seq((100L, longText)).toDF("cid", "caption")
+    val folded = graft.operators.MinHashLsh.bands(
+        graft.operators.MinHashLsh.signaturesFromText(corpus, "cid", "caption"))
+      .select((col("band_idx") * lit(graft.config.GoldenConfig.P) + col("band_hash")).as("bucket"),
+        col("id"))
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingDedup.nearDupAgainstCorpusSnapshot(
+      mem.toDF().toDF("doc_id", "text"), folded, "doc_id", "text")
+    val q = out.writeStream.format("memory").queryName("sndcs_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L, longText), (2L, "totally unrelated words here that do not match at all"))
+      q.processAllAvailable()
+      val rows = spark.table("sndcs_out").select("id", "corpus_id").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      rows shouldBe Set((1L, 100L))
+    } finally q.stop()
+  }
 }
