@@ -470,6 +470,25 @@ FROM sm GROUP BY token ORDER BY token"""
     // a = master (doc_id % 4 <> 0), b = staging (doc_id % 4 = 0)
     "q41_cross_dedup_pairs" ->
       s"""WITH $toks, ${shinglesCte(K)}, $shh, $sig, $bandsCte, $candx, $verx
-SELECT a, b, inter, na, nb FROM verx ORDER BY a, b"""
+SELECT a, b, inter, na, nb FROM verx ORDER BY a, b""",
+
+    // incremental clustering end-to-end: components over master-internal
+    // verified pairs ∪ cross verified pairs ∪ per-side exact-dup stars ∪
+    // exact cross edges. The Spark side emits rep-level edges; components
+    // (and min-id labels) are identical to this all-pairs formulation.
+    "q42_cross_dedup_clusters" ->
+      s"""WITH RECURSIVE $toks, ${shinglesCte(K)}, $shh, $sig, $bandsCte, $cand, $ver, $candx, $verx,
+ verm AS (SELECT a, b FROM ver WHERE a % 4 <> 0 AND b % 4 <> 0),
+ repm AS (SELECT lower(text) AS lt, min(doc_id) AS rep FROM documents WHERE doc_id % 4 <> 0 GROUP BY 1),
+ reps_ AS (SELECT lower(text) AS lt, min(doc_id) AS rep FROM documents WHERE doc_id % 4 = 0 GROUP BY 1),
+ exdm AS (SELECT r.rep AS a, d.doc_id AS b FROM repm r JOIN (SELECT doc_id, lower(text) AS lt FROM documents WHERE doc_id % 4 <> 0) d USING (lt) WHERE d.doc_id <> r.rep),
+ exds AS (SELECT r.rep AS a, d.doc_id AS b FROM reps_ r JOIN (SELECT doc_id, lower(text) AS lt FROM documents WHERE doc_id % 4 = 0) d USING (lt) WHERE d.doc_id <> r.rep),
+ excr AS (SELECT m.rep AS a, s.rep AS b FROM repm m JOIN reps_ s USING (lt)),
+ edges AS (SELECT a, b FROM verm UNION SELECT a, b FROM verx UNION SELECT a, b FROM exdm UNION SELECT a, b FROM exds UNION SELECT a, b FROM excr),
+ ed AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+ reach(id, lbl) AS (SELECT a, a FROM ed UNION SELECT ed.b, reach.lbl FROM reach JOIN ed ON ed.a = reach.id),
+ comp AS (SELECT id, min(lbl) AS cid FROM reach GROUP BY id)
+SELECT d.doc_id, COALESCE(comp.cid, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN comp ON comp.id = d.doc_id ORDER BY d.doc_id"""
   )
 }

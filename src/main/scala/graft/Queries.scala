@@ -282,6 +282,24 @@ object Queries {
     MinHashLsh.verifyPairs(cand, sh).orderBy("a", "b")
   }
 
+  /** Incremental clustering end-to-end: master clusters ∪ cross edges ∪
+    * staging structure → connected components over all rows — the q41
+    * candidate path composed through [[MinHashLsh.dedupEdgesAgainst]] and
+    * CC, i.e. what an import's cluster assignment is made of. Edges are
+    * rep-level (exact classes collapse first); the oracle derives the same
+    * components from all-pairs SQL, and identical components ⇒ identical
+    * min-id labels ⇒ hash match. */
+  def crossDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val master = d.where(col("doc_id") % 4 =!= 0)
+    val staging = d.where(col("doc_id") % 4 === 0)
+    val edges = MinHashLsh.dedupEdges(master, "doc_id", "text")
+      .unionByName(MinHashLsh.dedupEdgesAgainst(master, staging, "doc_id", "text"))
+    ConnectedComponents.run(s, edges, Some(d.select(col("doc_id").as("id"))))
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   // ---- relational operators (reference A-rows over TPC-H-ish tables) -------
 
   def aggPricing(s: SparkSession, dir: String): DataFrame =
