@@ -60,6 +60,24 @@ class IncrementalImageDedupSpec extends AnyFlatSpec with Matchers with SparkTest
     out2(SyntheticImages.imageId(19L)) shouldBe out2(base18)
   }
 
+  it should "resume a re-run import from its committed stages" in {
+    val dir = java.nio.file.Files.createTempDirectory("inc_resume").toString
+    val corpusClusters = ImageDedupPipeline.runDirect(spark, corpus).localCheckpoint()
+    val deltaR = all.where(idNum % 20 === 18).localCheckpoint()
+    val first = IncrementalImageDedup.run(spark, corpus, corpusClusters, deltaR,
+        new StageCheckpoint(spark, dir), "r1")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val resumedStore = new StageCheckpoint(spark, dir)
+    resumedStore.isDone("r1_inc_clusters") shouldBe true
+    resumedStore.isDone("r1_inc_verified_edges") shouldBe true
+    // a re-run of the same import (crash-recovery shape) serves every stage
+    // from its snapshot and reproduces the assignment exactly
+    val again = IncrementalImageDedup.run(spark, corpus, corpusClusters, deltaR,
+        resumedStore, "r1")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    again shouldBe first
+  }
+
   it should "achieve recall and precision 1.0 against the planted truth" in {
     val corpusClusters = ImageDedupPipeline.runDirect(spark, corpus)
     val inc = IncrementalImageDedup.runDirect(spark, corpus, corpusClusters, delta)
