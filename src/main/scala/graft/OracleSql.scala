@@ -489,6 +489,39 @@ SELECT a, b, inter, na, nb FROM verx ORDER BY a, b""",
  reach(id, lbl) AS (SELECT a, a FROM ed UNION SELECT ed.b, reach.lbl FROM reach JOIN ed ON ed.a = reach.id),
  comp AS (SELECT id, min(lbl) AS cid FROM reach GROUP BY id)
 SELECT d.doc_id, COALESCE(comp.cid, d.doc_id) AS cluster_id
-FROM documents d LEFT JOIN comp ON comp.id = d.doc_id ORDER BY d.doc_id"""
+FROM documents d LEFT JOIN comp ON comp.id = d.doc_id ORDER BY d.doc_id""",
+
+    // curation chain: quality filter → language filter → dedup clustering
+    // of the survivors. Pipeline CTEs run over all documents; pairs are
+    // filtered to kept ids — identical to running the pipeline on the
+    // filtered subset (per-doc derivations are independent).
+    "q43_corpus_curation" -> {
+      val sw = graft.operators.TextAnalysis.Stopwords.map(s => s"'$s'").mkString("[", ",", "]")
+      val counts = graft.operators.TextAnalysis.LangMarkers.map { case (lang, pat) =>
+        s"(length(t)-length(replace(t,'$pat','')))//${pat.length} AS c_$lang"
+      }.mkString(", ")
+      val best = graft.operators.TextAnalysis.LangMarkers
+        .map { case (l, _) => s"c_$l" }.mkString("greatest(", ", ", ")")
+      val cases = graft.operators.TextAnalysis.LangMarkers
+        .map { case (l, _) => s"WHEN c_$l = m AND m > 0 THEN '$l'" }.mkString(" ")
+      s"""WITH RECURSIVE $toks, ${shinglesCte(K)}, $shh, $sig, $bandsCte, $cand, $ver,
+ qual AS (SELECT doc_id FROM toks WHERE len(t) >= 10 AND len(t) <= 1000
+   AND len(list_distinct(t))*10 >= len(t)*2
+   AND len([x FOR x IN t IF list_contains($sw, x)])*2 <= len(t)),
+ lbase AS (SELECT doc_id, lower(text) AS t FROM documents),
+ lc AS (SELECT doc_id, $counts FROM lbase),
+ lg AS (SELECT *, $best AS m FROM lc),
+ lang AS (SELECT doc_id FROM lg WHERE (CASE $cases ELSE 'und' END) = 'en'),
+ keep AS (SELECT q.doc_id FROM qual q JOIN lang l ON l.doc_id = q.doc_id),
+ verk AS (SELECT v.a, v.b FROM ver v JOIN keep ka ON ka.doc_id = v.a JOIN keep kb ON kb.doc_id = v.b),
+ repsk AS (SELECT lower(d.text) AS lt, min(d.doc_id) AS rep FROM documents d JOIN keep USING (doc_id) GROUP BY 1),
+ exdk AS (SELECT r.rep AS a, d.doc_id AS b FROM repsk r JOIN (SELECT d2.doc_id, lower(d2.text) AS lt FROM documents d2 JOIN keep USING (doc_id)) d USING (lt) WHERE d.doc_id <> r.rep),
+ edges AS (SELECT a, b FROM verk UNION SELECT a, b FROM exdk),
+ ed AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+ reach(id, lbl) AS (SELECT a, a FROM ed UNION SELECT ed.b, reach.lbl FROM reach JOIN ed ON ed.a = reach.id),
+ comp AS (SELECT id, min(lbl) AS cid FROM reach GROUP BY id)
+SELECT k.doc_id, COALESCE(comp.cid, k.doc_id) AS cluster_id
+FROM keep k LEFT JOIN comp ON comp.id = k.doc_id ORDER BY k.doc_id"""
+    }
   )
 }

@@ -300,6 +300,26 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Training-data curation chain as ONE query: quality filter → language
+    * filter → near-dup clustering of the survivors — the canonical
+    * filter-then-dedup corpus recipe, driver-gated end to end. Filters are
+    * semi-joins (map-side with a broadcast id set at scale); the dedup
+    * stage is the standard collapse→LSH→verify→CC path on the kept rows
+    * only. */
+  def corpusCuration(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val okQuality = TextAnalysis.qualityScore(d, "doc_id", "text")
+      .where(col("quality_ok")).select(col("id").as("doc_id"))
+    val okLang = TextAnalysis.langId(d, "doc_id", "text")
+      .where(col("lang_guess") === "en").select(col("id").as("doc_id"))
+    val kept = d.join(okQuality, Seq("doc_id"), "left_semi")
+      .join(okLang, Seq("doc_id"), "left_semi")
+    val edges = MinHashLsh.dedupEdges(kept, "doc_id", "text")
+    ConnectedComponents.run(s, edges, Some(kept.select(col("doc_id").as("id"))))
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   // ---- relational operators (reference A-rows over TPC-H-ish tables) -------
 
   def aggPricing(s: SparkSession, dir: String): DataFrame =

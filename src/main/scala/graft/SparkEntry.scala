@@ -57,7 +57,8 @@ object SparkEntry {
     // ≡ brute force)
     "q40_ann_ivf_topk" -> (Queries.annIvfTopK(_, _)),
     "q41_cross_dedup_pairs" -> (Queries.crossDedupPairs(_, _)),
-    "q42_cross_dedup_clusters" -> (Queries.crossDedupClusters(_, _))
+    "q42_cross_dedup_clusters" -> (Queries.crossDedupClusters(_, _)),
+    "q43_corpus_curation" -> (Queries.corpusCuration(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
