@@ -103,7 +103,30 @@ object IncrementalBench {
     val (coldSec, deltaRows, recallCold) = importPhase("inc-cold", "imp_cold")
     val (warmSec, _, recallWarm) = importPhase("inc-warm", "imp_warm")
 
-    println(s"""{"bench":"incremental","n":$n,"delta_pct":$deltaPct,"delta_rows":$deltaRows,"cores":$cores,"full_sec":$fullSec,"inc_cold_sec":$coldSec,"inc_warm_sec":$warmSec,"speedup_cold":${fullSec / coldSec},"speedup_warm":${fullSec / warmSec},"recall_cold":$recallCold,"recall_warm":$recallWarm}""")
+    // optional: the north rule's N-vs-4N criterion applied to the WARM
+    // import itself — one warm import per listed core count against the
+    // same store (fresh per-import namespace each, fresh session each)
+    val scalingJson = sys.env.get("GRAFT_BENCH_WARM_CORES").map { spec =>
+      val entries = spec.split(",").map(_.trim.toInt).map { c =>
+        val spark = session(c)
+        try {
+          val (corpus, delta) = split(spark.read.parquet(inputPath))
+          val t0 = System.nanoTime()
+          IncrementalImageDedup.run(spark, corpus,
+              spark.read.parquet(clustersPath), delta,
+              new StageCheckpoint(spark, ckptDir), s"imp_warm_c$c")
+            .localCheckpoint().count()
+          val wall = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[inc-bench] warm@$c%-7d $wall%.1f s")
+          (c, wall)
+        } finally spark.stop()
+      }
+      val lo = entries.minBy(_._1); val hi = entries.maxBy(_._1)
+      val eff = (lo._2 * lo._1) / (hi._2 * hi._1)
+      s""","warm_scaling":{${entries.map(e => s""""c${e._1}":${e._2}""").mkString(",")},"efficiency":$eff}"""
+    }.getOrElse("")
+
+    println(s"""{"bench":"incremental","n":$n,"delta_pct":$deltaPct,"delta_rows":$deltaRows,"cores":$cores,"full_sec":$fullSec,"inc_cold_sec":$coldSec,"inc_warm_sec":$warmSec,"speedup_cold":${fullSec / coldSec},"speedup_warm":${fullSec / warmSec},"recall_cold":$recallCold,"recall_warm":$recallWarm$scalingJson}""")
   }
 
   private def session(cores: Int): SparkSession = {
