@@ -522,6 +522,15 @@ FROM documents d LEFT JOIN comp ON comp.id = d.doc_id ORDER BY d.doc_id""",
  comp AS (SELECT id, min(lbl) AS cid FROM reach GROUP BY id)
 SELECT k.doc_id, COALESCE(comp.cid, k.doc_id) AS cluster_id
 FROM keep k LEFT JOIN comp ON comp.id = k.doc_id ORDER BY k.doc_id"""
-    }
+    },
+
+    // whitespace vs BPE-ish pretoken counts (letter runs | digit runs |
+    // single symbols). Identical under Java regex and RE2 on BMP text;
+    // driver testdata is ASCII.
+    "q44_token_bpeish" ->
+      raw"""SELECT doc_id,
+ len(string_split(lower(text),' '))::BIGINT AS n_ws,
+ len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT AS n_bpeish
+FROM documents ORDER BY doc_id"""
   )
 }

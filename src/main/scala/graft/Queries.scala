@@ -320,6 +320,13 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Whitespace vs BPE-ish pretoken counts per doc (builder prompt:
+    * "token counting (whitespace + a BPE-ish regex)"). */
+  def tokenBpeish(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   // ---- relational operators (reference A-rows over TPC-H-ish tables) -------
 
   def aggPricing(s: SparkSession, dir: String): DataFrame =

@@ -58,7 +58,8 @@ object SparkEntry {
     "q40_ann_ivf_topk" -> (Queries.annIvfTopK(_, _)),
     "q41_cross_dedup_pairs" -> (Queries.crossDedupPairs(_, _)),
     "q42_cross_dedup_clusters" -> (Queries.crossDedupClusters(_, _)),
-    "q43_corpus_curation" -> (Queries.corpusCuration(_, _))
+    "q43_corpus_curation" -> (Queries.corpusCuration(_, _)),
+    "q44_token_bpeish" -> (Queries.tokenBpeish(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

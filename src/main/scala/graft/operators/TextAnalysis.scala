@@ -75,6 +75,25 @@ object TextAnalysis {
       ordered.as("lang_guess"): _*)
   }
 
+  /** BPE-ish pretokenization pattern (builder-prompt text-analysis row:
+    * "token counting (whitespace + a BPE-ish regex)"): lowercase letter
+    * runs, digit runs, and single non-space symbols — the GPT-2-style
+    * pretoken shape without a merges table, so its count tracks what a
+    * subword tokenizer would see far better than whitespace splitting on
+    * punctuation-heavy text. NOTE: Java regex counts astral-plane symbols
+    * per UTF-16 code unit while RE2 (the DuckDB oracle) counts per code
+    * point — the oracle contract holds on the (ASCII) driver testdata and
+    * any BMP corpus. */
+  val BpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  /** Per-doc token accounting: whitespace tokens next to BPE-ish pretokens
+    * — (id, n_ws, n_bpeish). Pure column expressions, codegen end to end. */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      size(tokens(col(textCol))).cast("long").as("n_ws"),
+      size(regexp_extract_all(lower(col(textCol)), lit(BpeishPattern), lit(0)))
+        .cast("long").as("n_bpeish"))
+
   /** Corpus word count (A18): (token, cnt, doc_cnt). */
   def wordCount(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"), explode(tokens(lower(col(textCol)))).as("token"))

@@ -16,6 +16,15 @@ class AnnAndTextSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     (4L, Seq(-1.0f, 0.0f, 0.0f))  // opposite
   ).toDF("id", "vec")
 
+  "TextAnalysis.tokenCounts" should "count whitespace tokens and BPE-ish pretokens" in {
+    val df = Seq((1L, "Don't panic, 3.14!"), (2L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenCounts(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // whitespace: [don't, panic,, 3.14!]; bpeish: don ' t panic , 3 . 14 !
+    out(1L) shouldBe ((3L, 9L))
+    out(2L)._2 shouldBe 0L
+  }
+
   "bruteForceTopK" should "rank by cosine with id tiebreak" in {
     val out = AnnSearch.bruteForceTopK(vecDf, vecDf.where(col("id") === 0L), k = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
