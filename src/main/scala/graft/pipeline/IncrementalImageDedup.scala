@@ -66,8 +66,16 @@ object IncrementalImageDedup {
       override def isDone(name: String): Boolean = ckpt.isDone(s"${importId}_$name")
     }
 
-    // ---- per-side annotation (corpus side reusable across imports) ----
-    val annC = ckpt.stage("inc_corpus_annotated")(ImageDedupPipeline.annotate(corpus))
+    // ---- per-side annotation (corpus side reusable across imports). If
+    // the corpus was originally clustered by ImageDedupPipeline.run with
+    // THIS store, its s1_annotated / s2_shingles snapshots are byte-for-
+    // byte what an import needs — serve them instead of recomputing, so
+    // the very first import against yesterday's clustering store starts
+    // warm. ----
+    val annC =
+      if (ckpt.isDone("s1_annotated"))
+        ckpt.stage("s1_annotated")(ImageDedupPipeline.annotate(corpus))
+      else ckpt.stage("inc_corpus_annotated")(ImageDedupPipeline.annotate(corpus))
     val annD = imp.stage("inc_delta_annotated")(ImageDedupPipeline.annotate(delta))
     val repsC = annC.where(col("image_id") === col("rep"))
     val repsD = annD.where(col("image_id") === col("rep"))
@@ -78,7 +86,10 @@ object IncrementalImageDedup {
     val memberC = repsC.select(col("cid"), col("image_id"))
     val memberD = repsD.select(col("cid"), col("image_id"))
 
-    val shC = ckpt.stage("inc_corpus_shingles")(ImageDedupPipeline.shingleGramTable(capRepsC))
+    val shC =
+      if (ckpt.isDone("s2_shingles"))
+        ckpt.stage("s2_shingles")(ImageDedupPipeline.shingleGramTable(capRepsC))
+      else ckpt.stage("inc_corpus_shingles")(ImageDedupPipeline.shingleGramTable(capRepsC))
     val shD = imp.stage("inc_delta_shingles")(ImageDedupPipeline.shingleGramTable(capRepsD))
 
     // ---- caption-level candidates (cid, cid). The corpus-side signature

@@ -78,6 +78,24 @@ class IncrementalImageDedupSpec extends AnyFlatSpec with Matchers with SparkTest
     again shouldBe first
   }
 
+  it should "reuse the initial clustering run's corpus snapshots for the first import" in {
+    val dir = java.nio.file.Files.createTempDirectory("inc_shared_store").toString
+    val store = new StageCheckpoint(spark, dir)
+    val corpusClusters = ImageDedupPipeline.run(spark, corpus, store).localCheckpoint()
+    corpusClusters.count()
+    store.isDone("s1_annotated") shouldBe true
+    val deltaP = all.where(idNum % 20 === 19).localCheckpoint()
+    val out = IncrementalImageDedup.run(spark, corpus, corpusClusters, deltaP,
+        new StageCheckpoint(spark, dir), "p1")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // the import served the pipeline's own snapshots — it never wrote the
+    // inc_corpus_* fallback stages
+    val after = new StageCheckpoint(spark, dir)
+    after.isDone("inc_corpus_annotated") shouldBe false
+    after.isDone("inc_corpus_shingles") shouldBe false
+    out(SyntheticImages.imageId(19L)) shouldBe out(SyntheticImages.imageId(0L))
+  }
+
   it should "achieve recall and precision 1.0 against the planted truth" in {
     val corpusClusters = ImageDedupPipeline.runDirect(spark, corpus)
     val inc = IncrementalImageDedup.runDirect(spark, corpus, corpusClusters, delta)
