@@ -177,8 +177,12 @@ object SkewSalting {
     *  4. Cold buckets take the plain equi-join; AQE skew-join mops up
     *     residual imbalance.
     */
+  /** @param maxBloomKeys overrides [[BloomMaxKeys]] — exposed so the
+    *                      shuffle semi-join fallback is testable at small
+    *                      scale; production callers keep the default. */
   def crossJoinPairs(left: DataFrame, right: DataFrame, keyCols: Seq[String],
-                     idCol: String, cap: Int, fanout: Int): DataFrame = {
+                     idCol: String, cap: Int, fanout: Int,
+                     maxBloomKeys: Long = BloomMaxKeys): DataFrame = {
     val keys = keyCols.map(col)
     val l = left.select(keys :+ col(idCol).as("id"): _*)
     val r = right.select(keys :+ col(idCol).as("id"): _*).localCheckpoint(false)
@@ -190,7 +194,7 @@ object SkewSalting {
     if (rBuckets == 0L)
       return r.where(lit(false)).select(col("id").as("a"), col("id").as("b"))
     val keyHash = xxhash64(keys: _*)
-    val keptL = (if (rBuckets <= BloomMaxKeys) {
+    val keptL = (if (rBuckets <= maxBloomKeys) {
       val bloom = rKeys.stat.bloomFilter(keyHash, rBuckets, BloomFppCross)
       val bc = spark.sparkContext.broadcast(bloom)
       val mightContain = udf((h: Long) => bc.value.mightContain(h))

@@ -109,6 +109,21 @@ class DedupOperatorsSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     expect.size shouldBe (60 * 10 + 3 * 40 + 1)
   }
 
+  it should "produce identical pairs on the semi-join fallback path (right side too big to bloom)" in {
+    val left = ((0L until 30L).map(i => (999L, i)) ++ Seq((1L, 300L), (3L, 301L)))
+      .toDF("bucket", "id")
+    val right = ((1000L until 1006L).map(i => (999L, i)) ++ Seq((1L, 400L), (2L, 401L)))
+      .toDF("bucket", "id")
+    val bl = left.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val br = right.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = (for { a <- bl; b <- br; if a._1 == b._1 } yield (a._2, b._2)).toSet
+    // maxBloomKeys = 1 forces the shuffle semi-join branch
+    val viaSemi = SkewSalting.crossJoinPairs(left, right, Seq("bucket"), "id",
+        cap = 5, fanout = 3, maxBloomKeys = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    viaSemi shouldBe expect
+  }
+
   it should "match the cross-side subset of the self-join on real documents" in {
     // the q41 shape: candidatePairsAgainst(master, staging) must equal the
     // master×staging pairs hiding inside candidatePairs(master ∪ staging)
