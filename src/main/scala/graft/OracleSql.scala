@@ -531,6 +531,20 @@ FROM keep k LEFT JOIN comp ON comp.id = k.doc_id ORDER BY k.doc_id"""
       raw"""SELECT doc_id,
  len(string_split(lower(text),' '))::BIGINT AS n_ws,
  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT AS n_bpeish
-FROM documents ORDER BY doc_id"""
+FROM documents ORDER BY doc_id""",
+
+    // deterministic Bernoulli sample: pinned-LCG key mod 1000 < rate
+    "q45_sample_bernoulli" ->
+      s"""SELECT doc_id FROM documents
+WHERE (($M * (doc_id % $P) + $LcgAddA) % $P) % 1000 < 200 ORDER BY doc_id""",
+
+    // deterministic stratified sample: 5 per token-count decade, ranked by
+    // the pinned sampling key (id tiebreak)
+    "q46_sample_stratified" ->
+      s"""WITH st AS (SELECT doc_id, len(string_split(lower(text),' ')) // 10 AS stratum,
+   (($M * (doc_id % $P) + $LcgAddA) % $P) AS sk FROM documents),
+ rk AS (SELECT doc_id, stratum,
+   row_number() OVER (PARTITION BY stratum ORDER BY sk, doc_id)::BIGINT AS sample_rank FROM st)
+SELECT doc_id, stratum::BIGINT AS stratum, sample_rank FROM rk WHERE sample_rank <= 5 ORDER BY doc_id"""
   )
 }

@@ -327,6 +327,24 @@ object Queries {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** Deterministic Bernoulli sample of documents (layout-independent:
+    * pinned-LCG row keys, not Spark's partition-seeded sample). */
+  def sampleBernoulli(s: SparkSession, dir: String): DataFrame =
+    Sampling.bernoulli(docs(s, dir).select(col("doc_id")), "doc_id",
+        rateMillis = 200)
+      .orderBy("doc_id")
+
+  /** Deterministic stratified sample: 5 docs per token-count decade,
+    * ranked by the pinned sampling key. */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedTopK(
+        docs(s, dir)
+          .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+          .select(col("doc_id"), expr("n_tokens div 10").as("stratum")),
+        "doc_id", "stratum", k = 5)
+      .select(col("doc_id"), col("stratum"), col("sample_rank"))
+      .orderBy("doc_id")
+
   // ---- relational operators (reference A-rows over TPC-H-ish tables) -------
 
   def aggPricing(s: SparkSession, dir: String): DataFrame =

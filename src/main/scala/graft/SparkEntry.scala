@@ -59,7 +59,9 @@ object SparkEntry {
     "q41_cross_dedup_pairs" -> (Queries.crossDedupPairs(_, _)),
     "q42_cross_dedup_clusters" -> (Queries.crossDedupClusters(_, _)),
     "q43_corpus_curation" -> (Queries.corpusCuration(_, _)),
-    "q44_token_bpeish" -> (Queries.tokenBpeish(_, _))
+    "q44_token_bpeish" -> (Queries.tokenBpeish(_, _)),
+    "q45_sample_bernoulli" -> (Queries.sampleBernoulli(_, _)),
+    "q46_sample_stratified" -> (Queries.sampleStratified(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Deterministic sampling: the selected set must be a pure function of row
+  * keys — invariant under partitioning/layout (the property Spark's
+  * partition-seeded `df.sample` does NOT have). */
+class SamplingSpec extends AnyFlatSpec with Matchers with SparkTestBase {
+  import spark.implicits._
+
+  "Sampling.bernoulli" should "select the same rows under any layout, near the nominal rate" in {
+    val ids = spark.range(0L, 10000L).toDF("id")
+    def picked(df: org.apache.spark.sql.DataFrame) =
+      Sampling.bernoulli(df, "id", rateMillis = 150)
+        .collect().map(_.getLong(0)).toSet
+    val a = picked(ids)
+    val b = picked(ids.repartition(17))
+    val c = picked(ids.repartition(1).orderBy(desc("id")))
+    a shouldBe b
+    a shouldBe c
+    // LCG keys are uniform enough for a loose band around 15%
+    a.size.toDouble / 10000 shouldBe 0.15 +- 0.02
+    // a different seed selects a different set
+    val d = Sampling.bernoulli(ids, "id", rateMillis = 150, seed = 7L)
+      .collect().map(_.getLong(0)).toSet
+    d should not be a
+  }
+
+  "Sampling.stratifiedTopK" should "keep exactly min(k, |stratum|) rows per stratum, layout-independent" in {
+    val df = spark.range(0L, 1000L)
+      .select(col("id"), (col("id") % 7L).as("stratum")).toDF("id", "stratum")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.stratifiedTopK(d, "id", "stratum", k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = run(df)
+    a shouldBe run(df.repartition(13))
+    a.groupBy(_._2).values.map(_.size).toSet shouldBe Set(10)
+    // a stratum smaller than k keeps all of it
+    val tiny = Seq((1L, 0L), (2L, 0L), (3L, 1L)).toDF("id", "stratum")
+    Sampling.stratifiedTopK(tiny, "id", "stratum", k = 10).count() shouldBe 3
+  }
+
+  it should "not overflow on 10^12-scale ids (ANSI mode)" in {
+    val big = Seq(2000000000000L, 9000000000000L).toDF("id")
+    noException should be thrownBy
+      Sampling.bernoulli(big, "id", rateMillis = 500).collect()
+  }
+}
