@@ -545,6 +545,22 @@ WHERE (($M * (doc_id % $P) + $LcgAddA) % $P) % 1000 < 200 ORDER BY doc_id""",
    (($M * (doc_id % $P) + $LcgAddA) % $P) AS sk FROM documents),
  rk AS (SELECT doc_id, stratum,
    row_number() OVER (PARTITION BY stratum ORDER BY sk, doc_id)::BIGINT AS sample_rank FROM st)
-SELECT doc_id, stratum::BIGINT AS stratum, sample_rank FROM rk WHERE sample_rank <= 5 ORDER BY doc_id"""
+SELECT doc_id, stratum::BIGINT AS stratum, sample_rank FROM rk WHERE sample_rank <= 5 ORDER BY doc_id""",
+
+    // leakage-free 90/10 split: per-CLUSTER sampling key, so near-dups
+    // never straddle train/eval (q08's clustering + the pinned key)
+    "q47_split_leakfree" ->
+      s"""WITH RECURSIVE $textPipeline,
+ reps AS (SELECT lower(text) AS lt, min(doc_id) AS rep FROM documents GROUP BY 1),
+ exd AS (SELECT r.rep AS a, d.doc_id AS b FROM reps r JOIN (SELECT doc_id, lower(text) AS lt FROM documents) d USING (lt) WHERE d.doc_id <> r.rep),
+ edges AS (SELECT a, b FROM ver UNION SELECT a, b FROM exd),
+ ed AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+ reach(id, lbl) AS (SELECT a, a FROM ed UNION SELECT ed.b, reach.lbl FROM reach JOIN ed ON ed.a = reach.id),
+ comp AS (SELECT id, min(lbl) AS cid FROM reach GROUP BY id),
+ cl AS (SELECT d.doc_id, COALESCE(comp.cid, d.doc_id) AS cluster_id
+   FROM documents d LEFT JOIN comp ON comp.id = d.doc_id)
+SELECT doc_id, cluster_id,
+ (CASE WHEN (($M * (cluster_id % $P) + $LcgAddA) % $P) % 1000 < 900 THEN 'train' ELSE 'eval' END) AS split
+FROM cl ORDER BY doc_id"""
   )
 }

@@ -345,6 +345,21 @@ object Queries {
       .select(col("doc_id"), col("stratum"), col("sample_rank"))
       .orderBy("doc_id")
 
+  /** Leakage-free train/eval split: the split is decided per near-dup
+    * CLUSTER (pinned sampling key of cluster_id), so two near-duplicates
+    * can never straddle train and eval — the standard contamination
+    * guard a dedup engine exists to enable. 90/10 split. */
+  def splitLeakFree(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val edges = MinHashLsh.dedupEdges(d, "doc_id", "text")
+    ConnectedComponents.run(s, edges, Some(d.select(col("doc_id").as("id"))))
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .withColumn("split",
+        when(Sampling.sampleKey(col("cluster_id")) % 1000L < 900L, lit("train"))
+          .otherwise(lit("eval")))
+      .orderBy("doc_id")
+  }
+
   // ---- relational operators (reference A-rows over TPC-H-ish tables) -------
 
   def aggPricing(s: SparkSession, dir: String): DataFrame =

@@ -61,7 +61,8 @@ object SparkEntry {
     "q43_corpus_curation" -> (Queries.corpusCuration(_, _)),
     "q44_token_bpeish" -> (Queries.tokenBpeish(_, _)),
     "q45_sample_bernoulli" -> (Queries.sampleBernoulli(_, _)),
-    "q46_sample_stratified" -> (Queries.sampleStratified(_, _))
+    "q46_sample_stratified" -> (Queries.sampleStratified(_, _)),
+    "q47_split_leakfree" -> (Queries.splitLeakFree(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
