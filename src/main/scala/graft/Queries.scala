@@ -221,8 +221,9 @@ object Queries {
   }
 
   /** Banded multi-table ANN end-to-end (the RECALL path of q31's shape:
-    * union of 16 four-plane bucket tables instead of one 16-plane table —
-    * see AnnSearch.lshBucketsBanded for the collision math). */
+    * union of 12 eight-plane bucket tables — GoldenConfig.AnnBandTables ×
+    * AnnBandPlanes — instead of one 16-plane table; see
+    * AnnSearch.lshBucketsBanded for the collision math). */
   def annBandedTopK(s: SparkSession, dir: String): DataFrame = {
     val c = vecs(s, dir)
     AnnSearch.lshTopKBanded(c, c.where(col("id") < 10))
@@ -451,6 +452,7 @@ object Queries {
   /** Word count over stopword-filtered + stemmed tokens (A27 variants). */
   def wordCountStemmed(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.wordCountStemmed(docs(s, dir), "doc_id", "text")
+      .orderBy("token")
 
   /** Production tokenizer variant: full stopword set + Porter-style
     * longest-suffix stemmer (A27 realism; q33 keeps the pinned tiny

@@ -44,10 +44,14 @@ object ConnectedComponents {
     val idType = edges.schema("a").dataType
     require(edges.schema("b").dataType == idType, "edge endpoints must share a type")
 
-    // resume point: the highest committed cc_edges_<i> stage, if any
+    // Resume point: the highest committed cc_edges_<i> stage, if any.
+    // Probed over EVERY index 1..maxIter, not the current
+    // (checkpointEvery, maxIter) grid — a rerun with a different
+    // checkpointEvery must still find (and resume from the latest of) the
+    // commits the previous run actually made (ADVICE r3). maxIter isDone
+    // probes are catalog lookups, negligible next to one CC iteration.
     val startIter = store.map { st =>
-      (checkpointEvery to maxIter by checkpointEvery)
-        .filter(i => st.isDone(s"cc_edges_$i")).lastOption.getOrElse(0)
+      (1 to maxIter).filter(i => st.isDone(s"cc_edges_$i")).lastOption.getOrElse(0)
     }.getOrElse(0)
 
     // lazy localCheckpoint: the checksum aggregation doubles as the

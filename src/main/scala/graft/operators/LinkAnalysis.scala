@@ -16,10 +16,11 @@ import org.apache.spark.sql.functions._
   *     trick as the dedup pipeline's caption layer);
   *  2. each distinct page emits its DISTINCT punctuation-stripped tokens
   *     (tid, tok) — longs and short strings, never the page text;
-  *  3. aliases join on their (punctuation-stripped) FIRST token — an
+  *  3. aliases join on their first punctuation-SURVIVING token — an
   *     equi-join any alias-dictionary size can take (the old broadcast
   *     cross-join did |pages| · |aliases| occurrence scans and required the
-  *     dictionary to fit in memory);
+  *     dictionary to fit in memory); aliases with no surviving token fall
+  *     back to the unanchored per-page count;
   *  4. only the surviving (page, alias) candidates fetch the page text and
   *     count occurrences — a codegen'd length-difference expression.
   *
@@ -66,10 +67,22 @@ object LinkAnalysis {
     val pageToks = pg.select(col("tid"), explode(array_distinct(
       transform(split(col("t"), " "),
         tk => regexp_replace(tk, PunctClass, "")))).as("tok"))
-    val anchors = aliases.select(col("alias"),
-      regexp_replace(split(col("alias"), " ").getItem(0), PunctClass, "").as("tok"))
+    // Anchor = first token that survives punctuation stripping. An alias
+    // like "... foo" must anchor on "foo", not on the empty string the old
+    // first-token strip produced (which silently matched ~nothing, ADVICE
+    // r3). Aliases with NO surviving token (pure punctuation, e.g. "++")
+    // fall back to the unanchored per-page scan: a cross join, but bounded
+    // by how rare all-punctuation aliases are in any real link dictionary.
+    val stripped = transform(split(col("alias"), " "),
+      tk => regexp_replace(tk, PunctClass, ""))
+    val nonEmptyToks = filter(stripped, tk => tk =!= lit(""))
+    val withAnchor = aliases.withColumn("tok",
+      when(size(nonEmptyToks) > 0, element_at(nonEmptyToks, 1)))
+    val anchors = withAnchor.where(col("tok").isNotNull).select(col("alias"), col("tok"))
+    val unanchored = withAnchor.where(col("tok").isNull).select(col("alias"))
 
     val cand = pageToks.join(anchors, "tok").select("tid", "alias")
+      .union(unanchored.crossJoin(pg.select(col("tid"))).select("tid", "alias"))
     val occ = cand.join(pg, "tid")
       .select(col("alias"), (countOcc(col("t"), col("alias")) * col("m")).as("occ"))
       .groupBy("alias").agg(sum(col("occ")).as("n_occurrences"))

@@ -81,12 +81,33 @@ class CatalogStageCheckpoint(spark: SparkSession, namespace: String,
       metrics.writeTo(tbl(s"${name}__metrics")).using(format).create()
     }
 
+  /** Migrate a pre-seq (3-column: stage, rows, wall_ms) manifest written by
+    * an earlier format to the current 4-column layout, once, on first touch
+    * (ADVICE r3 medium: resuming such a namespace crashed appendManifest's
+    * positional insertInto and manifest()'s orderBy(seq)). seq is backfilled
+    * from read-back row order — the best commit-order evidence a pre-seq
+    * manifest has (and for the small, single-file manifests these stores
+    * write, parquet read-back preserves append order in practice). Manifests
+    * are tiny (one row per stage), so collect + rewrite is cheap. */
+  private def migrateManifestIfNeeded(): Unit =
+    if (spark.catalog.tableExists(manifestTbl) &&
+        !spark.table(manifestTbl).columns.contains("seq")) {
+      import spark.implicits._
+      val old = spark.table(manifestTbl).collect()
+        .zipWithIndex.map { case (r, i) =>
+          (i.toLong, r.getString(0), r.getLong(1), r.getLong(2)) }.toSeq
+      spark.sql(s"DROP TABLE $manifestTbl")
+      old.toDF("seq", "stage", "rows", "wall_ms")
+        .writeTo(manifestTbl).using(format).create()
+    }
+
   private def manifestHas(name: String): Boolean =
     spark.catalog.tableExists(manifestTbl) &&
       !spark.table(manifestTbl).where(col("stage") === name).isEmpty
 
   private def appendManifest(name: String, rows: Long, wallMs: Long): Unit = {
     import spark.implicits._
+    migrateManifestIfNeeded()
     // seq carries the commit order explicitly — a parquet read-back has no
     // row-order guarantee. Single-writer protocol (one driver owns a run's
     // namespace), so count-at-append is a valid monotone sequence.
@@ -105,8 +126,10 @@ class CatalogStageCheckpoint(spark: SparkSession, namespace: String,
   }
 
   /** Completed stages in commit order: (stage, rows, wall_ms). */
-  def manifest(): Seq[(String, Long, Long)] =
+  def manifest(): Seq[(String, Long, Long)] = {
+    migrateManifestIfNeeded()
     if (!spark.catalog.tableExists(manifestTbl)) Nil
     else spark.table(manifestTbl).orderBy(col("seq")).collect()
       .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+  }
 }

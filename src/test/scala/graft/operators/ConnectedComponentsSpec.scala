@@ -103,5 +103,17 @@ class ConnectedComponentsSpec extends AnyFlatSpec with Matchers with SparkTestBa
     // resume re-commits nothing before the resume point; it may add commits
     // only for iterations AFTER it
     committed2.toSet.intersect(committed.toSet) shouldBe committed.toSet
+
+    // ADVICE r3: a rerun with a DIFFERENT checkpointEvery must still find
+    // the previous run's commits (its own grid would probe cc_edges_5,10,…
+    // and miss the even-indexed ones) — same result, nothing recomputed
+    // before the latest committed iteration
+    val st3 = new graft.pipeline.StageCheckpoint(spark, dir)
+    val out3 = ConnectedComponents.run(spark, chain.toDF("a", "b"), Some(nodes),
+        store = Some(st3), checkpointEvery = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out3 shouldBe out1
+    val committed3 = st3.manifest().filter(_.contains("\"stage\":\"cc_edges_"))
+    committed3.toSet.intersect(committed.toSet) shouldBe committed.toSet
   }
 }

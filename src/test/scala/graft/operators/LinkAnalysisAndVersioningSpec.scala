@@ -45,6 +45,25 @@ class LinkAnalysisAndVersioningSpec extends AnyFlatSpec with Matchers with Spark
     r.getAs[Long]("link_prob_millis") shouldBe 666L // 2*1000 div 3
   }
 
+  it should "anchor on the first punctuation-SURVIVING token and fall back for all-punct aliases" in {
+    // "... rust": first token strips empty → anchor must be "rust", and the
+    // occurrence count is of the full literal alias (ADVICE r3: the old code
+    // anchored on "" and collapsed n_occurrences to 0 / prob to 1000).
+    // "++": no token survives stripping → unanchored per-page scan.
+    val links = Seq("... rust", "++", "++").toDF("alias")
+    val pages = Seq(
+      (1L, "we write ... rust here and ... rust there"), // 2 literal occurrences
+      (2L, "rust without the dots"),                     // anchors but 0 literal occ
+      (3L, "c++ has ++ and ++ again")                    // 3 "++" occurrences
+    ).toDF("page_id", "text")
+    val got = LinkAnalysis.linkProbability(pages, "text", links)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getAs[Long]("link_prob_millis"))).sortBy(_._1)
+    got shouldBe Array(
+      ("++", 2L, 3L, 666L),
+      ("... rust", 1L, 2L, 500L))
+  }
+
   it should "multiply occurrence counts of identical (collapsed) pages" in {
     val links = Seq("dup").toDF("alias")
     val pages = Seq((1L, "dup text dup"), (2L, "dup text dup"), (3L, "other")).toDF("page_id", "text")
