@@ -23,15 +23,25 @@ import graft.pipeline.ImageDedupPipeline
 object ScalingBench {
 
   case class RunResult(cores: Int, wallSec: Double, imagesPerSec: Double, recall: Double,
-                       jobs: Int = 0, taskSec: Double = 0.0)
+                       jobs: Int = 0, taskSec: Double = 0.0, cpuSec: Double = 0.0,
+                       gcSec: Double = 0.0, shufRecR: Long = 0L, shufRecW: Long = 0L) {
+    /** Core utilization: fraction of the run's core-seconds spent executing
+      * task CPU work. The host-drift-robust per-run statistic — a uniform
+      * host slowdown inflates wall and cpuSec together and cancels. */
+    def utilization: Double = cpuSec / (cores * wallSec)
+  }
 
   /** Counts jobs and summed task time — diagnoses driver-serial overhead:
-    * parallel-work floor ≈ taskSec/cores; the rest of wall is serial. */
+    * parallel-work floor ≈ taskSec/cores; the rest of wall is serial.
+    * Shuffle record counts are the work-invariance control: equal counts at
+    * both core counts prove the two runs executed the same data plan. */
   private class Meter extends org.apache.spark.scheduler.SparkListener {
     val jobs = new java.util.concurrent.atomic.AtomicInteger
     val taskMs = new java.util.concurrent.atomic.AtomicLong
     val cpuNs = new java.util.concurrent.atomic.AtomicLong
     val gcMs = new java.util.concurrent.atomic.AtomicLong
+    val shufRecR = new java.util.concurrent.atomic.AtomicLong
+    val shufRecW = new java.util.concurrent.atomic.AtomicLong
     override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
       jobs.incrementAndGet()
     override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
@@ -39,6 +49,8 @@ object ScalingBench {
       if (t.taskMetrics != null) {
         cpuNs.addAndGet(t.taskMetrics.executorCpuTime)
         gcMs.addAndGet(t.taskMetrics.jvmGCTime)
+        shufRecR.addAndGet(t.taskMetrics.shuffleReadMetrics.recordsRead)
+        shufRecW.addAndGet(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
       }
     }
   }
@@ -75,22 +87,37 @@ object ScalingBench {
     val lo = results.minBy(_.cores)
     val hi = results.maxBy(_.cores)
     val efficiency = (lo.wallSec * lo.cores) / (hi.wallSec * hi.cores)
+    // CPU-normalized efficiency: calibrate each run's wall by its own
+    // measured CPU speed (cpuSec of the SAME plan — see invariance controls)
+    // so a host-speed drift between the two runs cancels:
+    //   normalized wall ŵ_c ∝ wall_c / cpuSec_c
+    //   eff_cpu = (ŵ_N·N)/(ŵ_4N·4N) = utilization(4N) / utilization(N)
+    // i.e. "does the engine keep 4N cores as busy as it keeps N". Valid only
+    // when both runs executed the same plan — jobs and shuffle record
+    // counts equal — which the JSON/table report as explicit controls.
+    val cpuNormEff = hi.utilization / lo.utilization
+    val jobsInvariant = lo.jobs == hi.jobs
+    // AQE may re-plan partition COUNTS but not record counts; tolerance 1%
+    val shufInvariant =
+      math.abs(lo.shufRecW - hi.shufRecW) <= 0.01 * math.max(lo.shufRecW, hi.shufRecW)
 
     val runsJson = results.map(r =>
-      s"""{"cores":${r.cores},"wall_sec":${r.wallSec},"images_per_sec":${r.imagesPerSec},"recall":${r.recall}}""")
+      s"""{"cores":${r.cores},"wall_sec":${r.wallSec},"images_per_sec":${r.imagesPerSec},"recall":${r.recall},"jobs":${r.jobs},"task_sec":${r.taskSec},"cpu_sec":${r.cpuSec},"gc_sec":${r.gcSec},"shuffle_rec_read":${r.shufRecR},"shuffle_rec_write":${r.shufRecW},"utilization":${r.utilization}}""")
       .mkString("[", ",", "]")
-    println(s"""{"bench":"scaling","n":$n,"runs":$runsJson,"efficiency":$efficiency}""")
+    println(s"""{"bench":"scaling","n":$n,"runs":$runsJson,"efficiency":$efficiency,"cpu_norm_efficiency":$cpuNormEff,"jobs_invariant":$jobsInvariant,"shuffle_invariant":$shufInvariant}""")
 
     val md = new StringBuilder
     md.append("# BENCH_SCALING — N vs 4N cores on the end-to-end image dedup job\n\n")
     md.append(s"Input: deterministic synthetic input_hint table, n = $n images ")
     md.append("(generate→exact-collapse→MinHash-LSH+substring+phash→verify(PSNR)→CC).\n")
     md.append("Protocol: BASELINE.md 'Scaling protocol' — same input, shuffle partitions = cores.\n\n")
-    md.append("| run | cores | wall sec | images/sec | dup-pair recall |\n|---|---|---|---|---|\n")
+    md.append("| run | cores | wall sec | images/sec | dup-pair recall | jobs | cpu sec | gc sec | shuf rec W | utilization |\n|---|---|---|---|---|---|---|---|---|---|\n")
     results.foreach { r =>
-      md.append(f"| local[${r.cores}] | ${r.cores} | ${r.wallSec}%.1f | ${r.imagesPerSec}%.0f | ${r.recall}%.4f |\n")
+      md.append(f"| local[${r.cores}] | ${r.cores} | ${r.wallSec}%.1f | ${r.imagesPerSec}%.0f | ${r.recall}%.4f | ${r.jobs} | ${r.cpuSec}%.0f | ${r.gcSec}%.0f | ${r.shufRecW} | ${r.utilization}%.3f |\n")
     }
     md.append(f"\nScaling efficiency (T_N·N)/(T_4N·4N) = $efficiency%.3f (target ≥ 0.8)\n")
+    md.append(f"CPU-normalized efficiency util(4N)/util(N) = $cpuNormEff%.3f ")
+    md.append(f"(host-drift-robust; valid: jobs invariant = $jobsInvariant, shuffle records invariant = $shufInvariant)\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SCALING_RUN.md"), md.toString)
   }
 
@@ -137,11 +164,16 @@ object ScalingBench {
       val clusters = ImageDedupPipeline.runDirect(spark, input).localCheckpoint()
       clusters.count()
       val wall = (System.nanoTime() - t0) / 1e9
+      // snapshot every meter BEFORE the (untimed) recall evaluation below
+      // adds its own jobs/tasks to the listener
       val jobs = meter.jobs.get(); val taskSec = meter.taskMs.get() / 1e3
-      System.err.println(f"[scaling] cores=$cores wall=$wall%.1f jobs=$jobs taskSec=$taskSec%.0f cpuSec=${meter.cpuNs.get() / 1e9}%.0f gcSec=${meter.gcMs.get() / 1e3}%.0f parallelFloor=${taskSec / cores}%.1f")
+      val cpuSec = meter.cpuNs.get() / 1e9; val gcSec = meter.gcMs.get() / 1e3
+      val shufR = meter.shufRecR.get(); val shufW = meter.shufRecW.get()
+      System.err.println(f"[scaling] cores=$cores wall=$wall%.1f jobs=$jobs taskSec=$taskSec%.0f cpuSec=$cpuSec%.0f gcSec=$gcSec%.0f shufRecW=$shufW util=${cpuSec / (cores * wall)}%.3f parallelFloor=${taskSec / cores}%.1f")
       val truth = SyntheticImages.truth(spark, n).toDF()
       val (recall, _, _) = Main.pairRecall(clusters, truth)
-      RunResult(cores, wall, n / wall, recall, jobs, taskSec)
+      RunResult(cores, wall, n / wall, recall, jobs, taskSec,
+        cpuSec = cpuSec, gcSec = gcSec, shufRecR = shufR, shufRecW = shufW)
     } finally spark.stop()
   }
 }
