@@ -99,6 +99,26 @@ object OracleSql {
  FOR h IN range(($t+1)*$r - 1, $t*$r - 1, -1)]), (acc,b) -> acc*2+b)"""
   }
 
+  /** Order-pinned cosine of two DuckDB list expressions (dot/√/√ in the
+    * same division order as AnnSearch.cosine / rankTopK). */
+  private def cosSql(x: String, y: String): String =
+    s"${dotSql(x, y)} / sqrt(${dotSql(x, x)}) / sqrt(${dotSql(y, y)})"
+
+  /** IVF oracle building blocks (q40) — mirror AnnSearch.{ivfCentroids,
+    * assignToCentroids} with the fixed-point integer-sum centroid rule.
+    * `e` = (id, vec float list), `qz` = (id, qvec milli-unit bigint list). */
+  private def ivfAssign(cents: String): String =
+    s"""(SELECT id, cid FROM (
+ SELECT e.id, c.cid, row_number() OVER (PARTITION BY e.id ORDER BY ${cosSql("e.vec", "c.cvec")} DESC, c.cid) AS rk
+ FROM e, $cents c) WHERE rk = 1)"""
+
+  private def ivfUpdate(assign: String): String =
+    s"""(SELECT cid, [CAST(x AS FLOAT4) FOR x IN sv] AS cvec FROM (
+ SELECT cid, list(s ORDER BY i) AS sv FROM (
+  SELECT a.cid, u.i, sum(qz.qvec[u.i+1])::BIGINT AS s
+  FROM $assign a JOIN qz ON qz.id = a.id, unnest(range(0, len(qz.qvec))) AS u(i)
+  GROUP BY a.cid, u.i) GROUP BY cid))"""
+
   private val simhashCtes = {
     val bits = SimHashBits
     s"""tok AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS token FROM documents),
@@ -464,6 +484,37 @@ SELECT query_id, rank, neighbor_id FROM rk WHERE rank <= $AnnTopK ORDER BY query
     ELSE tok END AS token FROM ct)
 SELECT token, count(*)::BIGINT AS cnt, count(DISTINCT doc_id)::BIGINT AS doc_cnt
 FROM sm GROUP BY token ORDER BY token"""
+    },
+
+    // IVF ANN, Lloyd's unrolled (3 fixed iterations, nlist=8, nprobe=4):
+    // init = first nlist vectors (id order) milli-quantized; each round
+    // assigns by cosine (ties → lowest cid) and re-centers on the
+    // per-dimension BIGINT SUM of milli-quantized members (order-independent
+    // ⇒ bit-reproducible; cosine is scale-invariant so the un-normalized
+    // sum has the mean's direction) — mirrors AnnSearch.ivfCentroids/ivfTopK
+    "q40_ann_ivf_topk" -> {
+      val sc = IvfQuantScale
+      s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+ qz AS (SELECT id, [CAST(round(vec[i+1]::DOUBLE * $sc) AS BIGINT) FOR i IN range(0, len(vec))] AS qvec FROM e),
+ c0 AS (SELECT (row_number() OVER (ORDER BY id) - 1)::BIGINT AS cid,
+   [CAST(x AS FLOAT4) FOR x IN qvec] AS cvec
+  FROM (SELECT id, qvec FROM qz ORDER BY id LIMIT 8)),
+ a1 AS ${ivfAssign("c0")},
+ c1 AS ${ivfUpdate("a1")},
+ a2 AS ${ivfAssign("c1")},
+ c2 AS ${ivfUpdate("a2")},
+ a3 AS ${ivfAssign("c2")},
+ c3 AS ${ivfUpdate("a3")},
+ lists AS ${ivfAssign("c3")},
+ probes AS (SELECT query_id, cid FROM (
+   SELECT q.id AS query_id, c.cid,
+    row_number() OVER (PARTITION BY q.id ORDER BY ${cosSql("q.vec", "c.cvec")} DESC, c.cid) AS rk
+   FROM e q, c3 c WHERE q.id < 10) WHERE rk <= 4),
+ cand AS (SELECT p.query_id, l.id AS neighbor_id FROM probes p JOIN lists l USING (cid) WHERE l.id <> p.query_id),
+ s AS (SELECT cand.query_id, cand.neighbor_id, ${cosSql("qe.vec", "ce.vec")} AS cos
+  FROM cand JOIN e qe ON qe.id = cand.query_id JOIN e ce ON ce.id = cand.neighbor_id),
+ rk AS (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)::BIGINT AS rank FROM s)
+SELECT query_id, rank, neighbor_id FROM rk WHERE rank <= $AnnTopK ORDER BY query_id, rank"""
     },
 
     // incremental (master × staging) dedup: verified cross pairs only —

@@ -79,10 +79,18 @@ object Queries {
       .orderBy("doc_id")
   }
 
-  def exactDedup(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"),
-      min(col("doc_id")).over(Window.partitionBy(lower(col("text")))).as("keeper"))
-      .orderBy("doc_id")
+  /** Exact duplicate collapse: keeper = min doc_id among identical
+    * (lowercased) texts. GroupBy-min + join-back, not min-over-window: the
+    * partial min combines map-side (a viral caption contributes one row per
+    * partition to the shuffle, not all its copies into one window task) and
+    * the join-back's residual skew is AQE-splittable, which a window task
+    * is not (round-3 verdict "What's wrong #3"). Row-identical to the
+    * window formulation — property-tested in DedupOperatorsSpec. */
+  def exactDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), lower(col("text")).as("_lt"))
+    val keepers = d.groupBy("_lt").agg(min(col("doc_id")).as("keeper"))
+    d.join(keepers, "_lt").select(col("doc_id"), col("keeper")).orderBy("doc_id")
+  }
 
   // ---- simhash path --------------------------------------------------------
 
@@ -255,10 +263,10 @@ object Queries {
   }
 
   /** IVF ANN end-to-end: deterministic-seed k-means lists + probe + exact
-    * re-rank. Centroid means are float averages whose summation order is
-    * partition-dependent — no bit-exact SQL oracle; driver records the
-    * rows-only check, AnnAndTextSpec pins exactness (nprobe = nlist ≡
-    * brute force) and recall. */
+    * re-rank. Centroids are fixed-point integer sums (order-independent —
+    * see AnnSearch.ivfCentroids), so the whole pipeline is hash-exact
+    * against the unrolled-Lloyd's DuckDB oracle; AnnAndTextSpec pins
+    * exactness (nprobe = nlist ≡ brute force) and recall. */
   def annIvfTopK(s: SparkSession, dir: String): DataFrame = {
     val c = vecs(s, dir)
     AnnSearch.ivfTopK(c, c.where(col("id") < 10), nlist = 8, nprobe = 4)

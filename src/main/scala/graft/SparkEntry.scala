@@ -52,9 +52,6 @@ object SparkEntry {
     // no oracle (JVM stub-decode kernel): driver rows-only check; semantics
     // pinned by AudioOpsSpec
     "q39_audio_fingerprints" -> (Queries.audioFingerprints(_, _)),
-    // no oracle (float k-means centroid sums are order-dependent): driver
-    // rows-only check; exactness pinned by AnnAndTextSpec (nprobe = nlist
-    // ≡ brute force)
     "q40_ann_ivf_topk" -> (Queries.annIvfTopK(_, _)),
     "q41_cross_dedup_pairs" -> (Queries.crossDedupPairs(_, _)),
     "q42_cross_dedup_clusters" -> (Queries.crossDedupClusters(_, _)),

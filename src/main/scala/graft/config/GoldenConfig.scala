@@ -85,6 +85,16 @@ object GoldenConfig {
   val AnnBandTables: Int = 12
   val AnnBandPlanes: Int = 8
 
+  /** IVF coarse quantizer fixed-point scale: member coordinates quantize to
+    * integer milli-units and a centroid is the per-dimension integer SUM of
+    * its members (cosine is scale-invariant, so the un-normalized sum has
+    * exactly the mean's direction). Integer sums are order-independent —
+    * the whole quantizer is deterministic and DuckDB-reproducible, unlike a
+    * float avg whose summation order is partition-dependent. Overflow
+    * bound: |coord| ≤ ~4 ⇒ |term| ≤ 4·10³, so even 10^12 members stay
+    * ≤ 4·10^15 ≪ Long.Max under ANSI. */
+  val IvfQuantScale: Long = 1000L
+
   /** Deterministic seed for the synthetic image+caption generator. */
   val Seed: Long = 42L
 

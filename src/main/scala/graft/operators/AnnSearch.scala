@@ -182,22 +182,37 @@ object AnnSearch {
   // Centroids are tiny (nlist rows) and BROADCAST; the corpus is scanned
   // once for assignment and once per search — no corpus self-join at all.
 
+  /** Member coordinate quantized to integer milli-units — the fixed-point
+    * building block of the deterministic coarse quantizer. */
+  private def quantized(v: Column): Column =
+    round(v.cast("double") * IvfQuantScale).cast("long")
+
   /** Deterministic-seed Lloyd's k-means over the (id, vec) corpus:
     * initial centroids are the first `nlist` vectors in id order, then
-    * `iters` rounds of assign (max cosine, broadcast centroids) +
-    * element-wise mean. Returns (cid, cvec). Float summation order inside
-    * the mean is partition-dependent (documented) — IVF recall does not
-    * depend on low-order centroid bits. */
+    * `iters` rounds of assign (max cosine, broadcast centroids) + centroid
+    * update. Returns (cid, cvec: array<float>).
+    *
+    * Fixed-point update rule (GoldenConfig.IvfQuantScale): the new centroid
+    * is the per-dimension LONG SUM of its members' milli-unit-quantized
+    * coordinates, cast to float. Cosine is scale-invariant, so the
+    * un-normalized integer sum points exactly where the float mean would —
+    * but integer sums are order-independent, making every centroid (and so
+    * every assignment, probe and final top-k) bit-deterministic and
+    * hash-exact against the DuckDB oracle (q40) regardless of partitioning.
+    * The milli-unit rounding perturbs the coarse grid only (~1e-3 relative
+    * per coordinate); recall is pinned by AnnAndTextSpec either way. */
   def ivfCentroids(corpus: DataFrame, nlist: Int, iters: Int = 3): DataFrame = {
+    val quant = corpus.select(col("id"),
+      transform(col("vec"), quantized(_)).as("qvec"))
     var cents = corpus.orderBy("id").limit(nlist)
-      .select(col("vec").as("cvec"),
+      .select(transform(col("vec"), v => quantized(v).cast("float")).as("cvec"),
         (row_number().over(Window.orderBy("id")) - 1).cast("long").as("cid"))
       .localCheckpoint(false)
     (1 to iters).foreach { _ =>
       val assigned = assignToCentroids(corpus, cents)
-      cents = corpus.join(assigned, "id")
-        .select(col("cid"), posexplode(col("vec")))
-        .groupBy("cid", "pos").agg(avg(col("col")).as("m"))
+      cents = quant.join(assigned, "id")
+        .select(col("cid"), posexplode(col("qvec")))
+        .groupBy("cid", "pos").agg(sum(col("col")).as("m"))
         .groupBy("cid")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s("m").cast("float")).as("cvec"))

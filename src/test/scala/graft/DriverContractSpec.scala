@@ -10,9 +10,8 @@ import org.scalatest.matchers.should.Matchers
 class DriverContractSpec extends AnyFlatSpec with Matchers {
 
   /** Queries with no SQL-expressible oracle, each documented at its
-    * SparkEntry registration: q39 (JVM stub-decode audio kernel), q40
-    * (order-dependent float k-means centroids). */
-  private val RowsOnly = Set("q39_audio_fingerprints", "q40_ann_ivf_topk")
+    * SparkEntry registration: q39 (JVM stub-decode audio kernel). */
+  private val RowsOnly = Set("q39_audio_fingerprints")
 
   "SparkEntry" should "have an oracle for every query except the documented rows-only set" in {
     val queries = SparkEntry.queries.keySet
