@@ -13,11 +13,12 @@ import graft.config.GoldenConfig.{P, LcgMul, LcgAddA}
   * the same decision on any cluster layout, any partition count, any day.
   *
   * Scale shape: [[bernoulli]] is a pure map-side filter (no shuffle, no
-  * state); [[stratifiedTopK]] is one hash-partitioned window per stratum —
-  * the same shape as the exact-dedup keeper window, with the same skew
-  * caveat (a viral stratum lands in one window task; cap strata sizes
-  * upstream or salt if a stratum can be a significant fraction of the
-  * input).
+  * state); [[stratifiedTopK]] is a bounded top-k AGGREGATE (k-capped
+  * per-partition partial state, map-side combined) + a join-back — a viral
+  * stratum with m rows across p partitions shuffles ≤ k·p pairs instead of
+  * landing all m rows in one window task, and the join-back's skew is
+  * AQE-splittable. Property-tested row-identical to the straightforward
+  * window formulation (kept as [[stratifiedTopKWindow]]).
   */
 object Sampling {
 
@@ -38,10 +39,34 @@ object Sampling {
   }
 
   /** Exactly-k-per-stratum deterministic sample: rows ranked inside each
-    * stratum by sampling key (id tiebreak), first k kept. */
+    * stratum by sampling key (id tiebreak), first k kept; output = the
+    * input columns plus `sample_rank` (1..k). `idCol` must be a unique
+    * numeric row key (it already must be numeric for [[sampleKey]]; the
+    * join-back additionally relies on uniqueness).
+    *
+    * Straggler-proof shape: [[graft.functions.BoundedTopKAgg]] caps
+    * per-partition partial state at k pairs per stratum, so no task ever
+    * holds a viral stratum whole — see the class scaladoc. */
   def stratifiedTopK(df: DataFrame, idCol: String, stratumCol: String,
                      k: Int, seed: Long = 0L): DataFrame = {
     require(k > 0, "k must be positive")
+    val winners = df
+      .select(col(stratumCol).as("_st"), sampleKey(col(idCol), seed).as("_sk"),
+        col(idCol).cast("long").as("_sid"))
+      .groupBy("_st")
+      .agg(graft.functions.BoundedTopKAgg.boundedTopK(col("_sk"), col("_sid"), k).as("_top"))
+      .select(posexplode(col("_top")))
+      .select(col("col")("id").as("_sid"), (col("pos") + 1).cast("long").as("sample_rank"))
+    df.join(winners, col(idCol).cast("long") === col("_sid"))
+      .drop("_sid")
+  }
+
+  /** The one-window-per-stratum formulation of [[stratifiedTopK]] — kept as
+    * the semantic reference for the property spec (row-identical output);
+    * a viral stratum lands whole in one window task here. */
+  private[graft] def stratifiedTopKWindow(df: DataFrame, idCol: String,
+                                          stratumCol: String, k: Int,
+                                          seed: Long = 0L): DataFrame = {
     val w = Window.partitionBy(col(stratumCol))
       .orderBy(sampleKey(col(idCol), seed), col(idCol))
     df.withColumn("sample_rank", row_number().over(w).cast("long"))

@@ -42,6 +42,26 @@ class DedupOperatorsSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     clusters shouldBe Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 0L, 4L -> 4L)
   }
 
+  "Queries.exactDedup" should "match the min-over-window formulation, incl. a viral caption" in {
+    // groupBy-min + join-back (straggler-proof) must be row-identical to
+    // the reference window formulation; 1/3 of docs share one caption
+    val dir = java.nio.file.Files.createTempDirectory("graft_exdup").toString
+    spark.range(0L, 3000L)
+      .select(col("id").as("doc_id"),
+        when(col("id") % 3L === 0L, lit("Viral Caption Here"))
+          .otherwise(concat(lit("doc "), (col("id") % 700L).cast("string"))).as("text"))
+      .write.parquet(s"$dir/documents.parquet")
+    val fast = graft.Queries.exactDedup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val ref = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(lower(col("text")))).as("keeper"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    fast shouldBe ref
+    fast(2703L) shouldBe 0L // viral caption collapses to doc 0
+    fast(5L) shouldBe 5L    // "doc 5" first appears at id 5
+  }
+
   "exactCollapse" should "pick min id as representative" in {
     val (reps, star) = MinHashLsh.exactCollapse(docsDf, "doc_id", "text")
     reps.count() shouldBe 4 // 5 docs, one exact dup collapsed

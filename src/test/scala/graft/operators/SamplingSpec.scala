@@ -43,6 +43,41 @@ class SamplingSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     Sampling.stratifiedTopK(tiny, "id", "stratum", k = 10).count() shouldBe 3
   }
 
+  it should "equal the window formulation row-for-row (random strata, several k)" in {
+    // the bounded-aggregate + join-back path must preserve EXACT semantics:
+    // same rows, same sample_rank — across random stratum shapes and seeds
+    val rnd = new scala.util.Random(4242)
+    (1 to 3).foreach { trial =>
+      // ids unique by construction (the operator's contract), keys scattered
+      val rows = (0 until 400).map(i =>
+        (i.toLong * 1000L + rnd.nextInt(1000), rnd.nextInt(12).toLong))
+      val df = rows.toDF("id", "stratum").repartition(7)
+      val k = Seq(1, 3, 17)(trial - 1)
+      def norm(d: org.apache.spark.sql.DataFrame) =
+        d.select("id", "stratum", "sample_rank")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      withClue(s"trial $trial k=$k") {
+        norm(Sampling.stratifiedTopK(df, "id", "stratum", k, seed = trial.toLong)) shouldBe
+          norm(Sampling.stratifiedTopKWindow(df, "id", "stratum", k, seed = trial.toLong))
+      }
+    }
+  }
+
+  it should "survive a viral stratum without concentrating it in one task" in {
+    // 1/2 of all rows share one stratum — the window formulation ships all
+    // of them to a single task; the bounded aggregate caps partial state at
+    // k per stratum per partition. Semantics must still match exactly.
+    val viral = spark.range(0L, 20000L)
+      .select(col("id"), when(col("id") < 10000L, 99L).otherwise(col("id") % 50L).as("stratum"))
+      .toDF("id", "stratum").repartition(16)
+    val fast = Sampling.stratifiedTopK(viral, "id", "stratum", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("sample_rank"))).toSet
+    val ref = Sampling.stratifiedTopKWindow(viral, "id", "stratum", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("sample_rank"))).toSet
+    fast shouldBe ref
+    fast.count(_._2 == 99L) shouldBe 5
+  }
+
   it should "not overflow on 10^12-scale ids (ANSI mode)" in {
     val big = Seq(2000000000000L, 9000000000000L).toDF("id")
     noException should be thrownBy
