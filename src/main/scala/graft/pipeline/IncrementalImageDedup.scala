@@ -37,6 +37,37 @@ import graft.operators.{MinHashLsh, SkewSalting, ConnectedComponents}
   */
 object IncrementalImageDedup {
 
+  /** Corpus-artifact stage name at generation `gen`: gen 0 keeps the
+    * original un-suffixed names; each [[absorb]] call adds one generation. */
+  private def corpusName(base: String, gen: Int): String =
+    if (gen == 0) base else s"${base}_g$gen"
+
+  /** Latest absorbed corpus generation present in the store (0 = none). */
+  def latestGen(ckpt: StageStore): Int = {
+    var g = 0
+    while (ckpt.isDone(corpusName("inc_corpus_annotated", g + 1))) g += 1
+    g
+  }
+
+  /** Composable corpus fingerprint: (row count, xor of image_id hashes).
+    * Both components compose under disjoint union — absorb() extends the
+    * staged fingerprint from the delta's alone, no corpus rescan. */
+  private def fingerprint(df: DataFrame): (Long, Long) = {
+    val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("image_id")))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  // delta/corpus signature builders shared by run() and absorb()
+  private def bandsOf(capReps: DataFrame): DataFrame = MinHashLsh.bands(
+    MinHashLsh.signaturesFromText(capReps, "cid", "caption"))
+  private def gramsOf(capReps: DataFrame): DataFrame = capReps
+    .select(col("cid").as("id"),
+      explode(graft.functions.GraftExpressions.gramHashes(
+        graft.functions.TextHash.tokens(col("caption")), SubstringL)).as("gram_hash"))
+    .distinct()
+  private def foldBands(b: DataFrame): DataFrame = b.select(
+    (col("band_idx") * lit(P) + col("band_hash")).as("bucket"), col("id"))
+
   /** Bench/test run without durable snapshots: multiply-consumed stages are
     * lazily localCheckpoint'ed, the rest stay lazy plans. */
   def runDirect(spark: SparkSession, corpus: DataFrame, corpusClusters: DataFrame,
@@ -66,16 +97,35 @@ object IncrementalImageDedup {
       override def isDone(name: String): Boolean = ckpt.isDone(s"${importId}_$name")
     }
 
+    // ---- stale-store enforcement: corpus artifacts were built from ONE
+    // corpus snapshot; serving them against a different `corpus` argument
+    // would silently miss (or duplicate) rows. The fingerprint staged with
+    // the artifacts must match the corpus passed in — after appending an
+    // accepted delta to the corpus table, call absorb() (which extends
+    // artifacts AND fingerprint) before the next import. ----
+    val gen = latestGen(ckpt)
+    def cn(base: String): String = corpusName(base, gen)
+    val fpName = cn("inc_corpus_fprint")
+    if (ckpt.isDone(fpName)) {
+      val st = ckpt.stage(fpName)(sys.error("unreachable: completed stage")).head()
+      val (c, x) = fingerprint(corpus)
+      require(st.getLong(0) == c && st.getLong(1) == x,
+        s"corpus fingerprint mismatch (staged cnt=${st.getLong(0)}/xor=${st.getLong(1)}, " +
+          s"passed cnt=$c/xor=$x): the staged corpus artifacts (generation $gen) were " +
+          "built from a different corpus snapshot. After appending an accepted delta " +
+          "to the corpus, call IncrementalImageDedup.absorb(); otherwise use a fresh store.")
+    }
+
     // ---- per-side annotation (corpus side reusable across imports). If
     // the corpus was originally clustered by ImageDedupPipeline.run with
     // THIS store, its s1_annotated / s2_shingles snapshots are byte-for-
     // byte what an import needs — serve them instead of recomputing, so
     // the very first import against yesterday's clustering store starts
-    // warm. ----
+    // warm. After an absorb() the generation-suffixed artifacts win. ----
     val annC =
-      if (ckpt.isDone("s1_annotated"))
+      if (gen == 0 && !ckpt.isDone("inc_corpus_annotated") && ckpt.isDone("s1_annotated"))
         ckpt.stage("s1_annotated")(ImageDedupPipeline.annotate(corpus))
-      else ckpt.stage("inc_corpus_annotated")(ImageDedupPipeline.annotate(corpus))
+      else ckpt.stage(cn("inc_corpus_annotated"))(ImageDedupPipeline.annotate(corpus))
     val annD = imp.stage("inc_delta_annotated")(ImageDedupPipeline.annotate(delta))
     val repsC = annC.where(col("image_id") === col("rep"))
     val repsD = annD.where(col("image_id") === col("rep"))
@@ -87,32 +137,32 @@ object IncrementalImageDedup {
     val memberD = repsD.select(col("cid"), col("image_id"))
 
     val shC =
-      if (ckpt.isDone("s2_shingles"))
+      if (gen == 0 && !ckpt.isDone("inc_corpus_shingles") && ckpt.isDone("s2_shingles"))
         ckpt.stage("s2_shingles")(ImageDedupPipeline.shingleGramTable(capRepsC))
-      else ckpt.stage("inc_corpus_shingles")(ImageDedupPipeline.shingleGramTable(capRepsC))
+      else ckpt.stage(cn("inc_corpus_shingles"))(ImageDedupPipeline.shingleGramTable(capRepsC))
     val shD = imp.stage("inc_delta_shingles")(ImageDedupPipeline.shingleGramTable(capRepsD))
 
     // ---- caption-level candidates (cid, cid). The corpus-side signature
     // tables (LSH bands, L-gram hashes, phash chunks) are the heavy linear
     // CPU of an import — staged under corpus-keyed names so a warm import
-    // re-reads columnar snapshots instead of re-hashing the corpus. ----
-    def bandsOf(capReps: DataFrame) = MinHashLsh.bands(
-      MinHashLsh.signaturesFromText(capReps, "cid", "caption"))
-    def gramsOf(capReps: DataFrame) = capReps.select(col("cid").as("id"),
-        explode(graft.functions.GraftExpressions.gramHashes(
-          graft.functions.TextHash.tokens(col("caption")), SubstringL)).as("gram_hash"))
-      .distinct()
-
-    // corpus bands are staged pre-FOLDED to (bucket, id) — two longs per
+    // re-reads columnar snapshots instead of re-hashing the corpus.
+    // Corpus bands are staged pre-FOLDED to (bucket, id) — two longs per
     // row instead of three; this snapshot is the largest thing a warm
     // import reads (32 band rows per caption), so a third off its width is
-    // a third off the import's dominant scan
-    def foldBands(b: DataFrame): DataFrame = b.select(
-      (col("band_idx") * lit(P) + col("band_hash")).as("bucket"), col("id"))
-    val bandC = ckpt.stage("inc_corpus_bands")(foldBands(bandsOf(capRepsC)))
-    val gramC = ckpt.stage("inc_corpus_grams")(gramsOf(capRepsC))
-    val chunkC = ckpt.stage("inc_corpus_phchunks")(
+    // a third off the import's dominant scan. ----
+    val bandC = ckpt.stage(cn("inc_corpus_bands"))(foldBands(bandsOf(capRepsC)))
+    val gramC = ckpt.stage(cn("inc_corpus_grams"))(gramsOf(capRepsC))
+    val chunkC = ckpt.stage(cn("inc_corpus_phchunks"))(
       ImageDedupPipeline.phashChunks(repsC, col("caption")))
+
+    // first durable staging of this generation's artifacts → record the
+    // corpus fingerprint they were built from (bands are staged through
+    // ckpt unconditionally, so their isDone marks a durable store)
+    if (ckpt.isDone(cn("inc_corpus_bands")) && !ckpt.isDone(fpName)) {
+      val (c, x) = fingerprint(corpus)
+      import spark.implicits._
+      ckpt.stage(fpName)(Seq((c, x)).toDF("cnt", "xh"))
+    }
 
     val capCross = imp.stage("inc_cap_cross_pairs") {
       SkewSalting.crossJoinPairs(bandC, foldBands(bandsOf(capRepsD)),
@@ -213,5 +263,80 @@ object IncrementalImageDedup {
         .select(col("image_id"), col("cluster_id"))
       reclustered.unionByName(untouched)
     }
+  }
+
+  /** Fold an ACCEPTED import's delta into the durable corpus artifacts —
+    * the daily-ingest loop's missing piece (round-3 verdict "missing #4"):
+    * after the caller appends the delta to its corpus table (an Iceberg
+    * append in production), `absorb(importId)` appends the delta's
+    * annotation/shingle/band/gram/chunk rows to the staged corpus artifacts
+    * as generation gen+1 and composes the corpus fingerprint, so the NEXT
+    * import (passing the grown corpus) starts warm — delta-sized work, no
+    * corpus restage, no corpus scan (the fingerprint composes from staged +
+    * delta parts).
+    *
+    * Batch-wise annotation: the absorbed corpus artifacts are the UNION of
+    * per-batch annotations, not a re-annotation of corpus ∪ delta — an
+    * exact-dup class spanning batches keeps one rep per batch. Each rep
+    * carries identical captions ⇒ identical band/gram/chunk keys, so later
+    * deltas still collide with (either of) them, the ladder verifies, and
+    * CC merges through the prior cluster edges: cluster outputs stay equal
+    * to a full re-run (spec: two sequential imports ≡ one full re-run).
+    * Cluster state itself needs no absorb — the next import's
+    * `corpusClusters` argument is simply this import's output.
+    *
+    * Same single-writer / one-namespace-per-corpus contract as every
+    * StageStore use.
+    *
+    * @return the new corpus generation number */
+  def absorb(spark: SparkSession, ckpt: StageStore, importId: String): Int = {
+    val gen = latestGen(ckpt)
+    val next = gen + 1
+    def done(n: String): DataFrame = {
+      require(ckpt.isDone(n),
+        s"absorb('$importId'): stage '$n' is not committed in this store — " +
+          "run() the import against this (durable) store before absorbing it")
+      ckpt.stage(n)(sys.error("unreachable: completed stage"))
+    }
+    val annD = done(s"${importId}_inc_delta_annotated")
+    val shD = done(s"${importId}_inc_delta_shingles")
+    val annC =
+      if (gen == 0 && !ckpt.isDone("inc_corpus_annotated") && ckpt.isDone("s1_annotated"))
+        done("s1_annotated")
+      else done(corpusName("inc_corpus_annotated", gen))
+    val shC =
+      if (gen == 0 && !ckpt.isDone("inc_corpus_shingles") && ckpt.isDone("s2_shingles"))
+        done("s2_shingles")
+      else done(corpusName("inc_corpus_shingles", gen))
+    val bandC = done(corpusName("inc_corpus_bands", gen))
+    val gramC = done(corpusName("inc_corpus_grams", gen))
+    val chunkC = done(corpusName("inc_corpus_phchunks", gen))
+
+    // delta contributions recomputed from the staged delta annotation —
+    // delta-sized work only
+    val capRepsD = annD.where(col("image_id") === col("cid")).select(col("cid"), col("caption"))
+    val repsD = annD.where(col("image_id") === col("rep"))
+
+    ckpt.stage(corpusName("inc_corpus_bands", next))(
+      bandC.unionByName(foldBands(bandsOf(capRepsD))))
+    ckpt.stage(corpusName("inc_corpus_grams", next))(
+      gramC.unionByName(gramsOf(capRepsD)))
+    ckpt.stage(corpusName("inc_corpus_phchunks", next))(
+      chunkC.unionByName(ImageDedupPipeline.phashChunks(repsD, col("caption"))))
+    ckpt.stage(corpusName("inc_corpus_shingles", next))(shC.unionByName(shD))
+    // fingerprint composes (disjoint-id contract): no corpus scan
+    if (ckpt.isDone(corpusName("inc_corpus_fprint", gen))) {
+      val prev = ckpt.stage(corpusName("inc_corpus_fprint", gen))(
+        sys.error("unreachable")).head()
+      val (dc, dx) = fingerprint(annD)
+      import spark.implicits._
+      ckpt.stage(corpusName("inc_corpus_fprint", next))(
+        Seq((prev.getLong(0) + dc, prev.getLong(1) ^ dx)).toDF("cnt", "xh"))
+    }
+    // annotated LAST: latestGen() probes it, so committing it only after
+    // every sibling artifact makes the generation bump atomic-at-the-probe
+    // (a crash mid-absorb leaves gen unchanged and absorb is re-runnable)
+    ckpt.stage(corpusName("inc_corpus_annotated", next))(annC.unionByName(annD))
+    next
   }
 }

@@ -96,6 +96,50 @@ class IncrementalImageDedupSpec extends AnyFlatSpec with Matchers with SparkTest
     out(SyntheticImages.imageId(19L)) shouldBe out(SyntheticImages.imageId(0L))
   }
 
+  it should "absorb an accepted delta so two sequential imports equal one full re-run" in {
+    val dir = java.nio.file.Files.createTempDirectory("inc_absorb").toString
+    val d1 = all.where(idNum % 20 === 18).localCheckpoint()
+    val d2 = all.where(idNum % 20 === 19).localCheckpoint()
+    val c0 = ImageDedupPipeline.runDirect(spark, corpus).localCheckpoint()
+
+    val s1 = new StageCheckpoint(spark, dir)
+    val out1 = IncrementalImageDedup.run(spark, corpus, c0, d1, s1, "d1").localCheckpoint()
+    out1.count()
+    IncrementalImageDedup.absorb(spark, s1, "d1") shouldBe 1
+    val s2 = new StageCheckpoint(spark, dir)
+    IncrementalImageDedup.latestGen(s2) shouldBe 1
+
+    // import 2 runs against the GROWN corpus (caller appended d1) and the
+    // absorbed artifacts — and must equal one full re-run over everything
+    val corpus2 = corpus.unionByName(d1).localCheckpoint()
+    val out2 = IncrementalImageDedup.run(spark, corpus2, out1, d2, s2, "d2")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val full = ImageDedupPipeline.runDirect(spark, corpus2.unionByName(d2))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    out2 shouldBe full
+    // and the second import reused generation-1 artifacts, no restage of a
+    // generation-0 OR fresh generation-1 annotation from scratch
+    s2.isDone("inc_corpus_annotated_g1") shouldBe true
+  }
+
+  it should "fail loudly when the passed corpus does not match the staged fingerprint" in {
+    val dir = java.nio.file.Files.createTempDirectory("inc_fprint").toString
+    val d1 = all.where(idNum % 20 === 18).localCheckpoint()
+    val d2 = all.where(idNum % 20 === 19).localCheckpoint()
+    val c0 = ImageDedupPipeline.runDirect(spark, corpus).localCheckpoint()
+    val out1 = IncrementalImageDedup.run(spark, corpus, c0, d1,
+      new StageCheckpoint(spark, dir), "d1").localCheckpoint()
+    out1.count()
+    // caller grows the corpus but FORGETS to absorb — the staged artifacts
+    // are stale and the import must refuse instead of silently serving them
+    val grown = corpus.unionByName(d1)
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalImageDedup.run(spark, grown, out1, d2,
+        new StageCheckpoint(spark, dir), "d2")
+    }
+    ex.getMessage should include("fingerprint mismatch")
+  }
+
   it should "achieve recall and precision 1.0 against the planted truth" in {
     val corpusClusters = ImageDedupPipeline.runDirect(spark, corpus)
     val inc = IncrementalImageDedup.runDirect(spark, corpus, corpusClusters, delta)
