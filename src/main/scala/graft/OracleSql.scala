@@ -486,6 +486,48 @@ SELECT token, count(*)::BIGINT AS cnt, count(DISTINCT doc_id)::BIGINT AS doc_cnt
 FROM sm GROUP BY token ORDER BY token"""
     },
 
+    // Audio fingerprints: exact HUGEINT-mod-2^64 emulation of the JVM's
+    // wrapping 64-bit arithmetic (AudioOps.decodePcmStub seed fold +
+    // splitmix LCG + windowFeatures hash fold) — every step mirrored:
+    // byte-slice windows, 256 LCG states per window (s>>>40 → −8388608 →
+    // >>8 becomes s // 2^48 − 32768, exact because 2^23 | 2^48), the
+    // window-hash fold, and the per-bit majority fingerprint (bit 63 via
+    // HUGEINT → signed cast). Energy/zero-crossings are computed by
+    // featureTable but never read by fingerprints, so the oracle skips
+    // them. Byte values come from unicode(char) — identical to the JVM's
+    // signed UTF-8 bytes on the ASCII testdata (same documented ASCII
+    // dependency as q44's regex parity).
+    "q39_audio_fingerprints" -> {
+      val W = "18446744073709551616::HUGEINT"
+      val pows = (0 until 64).map(BigInt(1) << _).mkString(",")
+      s"""WITH d AS (SELECT doc_id AS audio_id, length(text)::BIGINT*20 + 1000 AS dur,
+   [unicode(c)::HUGEINT FOR c IN string_split_regex(text,'') IF c <> ''] AS bs
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+ win AS (SELECT audio_id, bs, dur, u.off FROM d,
+   unnest(range(0, dur - least(1000, dur) + 1, 1000)) AS u(off)),
+ sl AS (SELECT audio_id, off,
+   bs[(len(bs)*off//dur)+1 : least(len(bs), greatest(len(bs)*off//dur + 1, len(bs)*(off+least(1000,dur))//dur))] AS sb
+  FROM win),
+ sd AS (SELECT audio_id, off,
+   list_reduce(list_prepend(1125899906842597::HUGEINT, sb), (s, b) -> (s*31 + b) % $W) AS seed
+  FROM sl),
+ st AS (SELECT audio_id, off,
+   list_reduce(list_prepend([seed], [[0::HUGEINT] FOR j IN range(0, 256)]),
+     (acc, x) -> list_append(acc, (acc[-1]*6364136223846793005::HUGEINT + 1442695040888963407) % $W)) AS states
+  FROM sd),
+ wh AS (SELECT audio_id,
+   list_reduce(list_prepend(0::HUGEINT,
+     [s // 281474976710656::HUGEINT - 32768 FOR s IN states[2:257]]),
+     (h, p) -> (h*$M + p + $LcgAddA + $W) % $W) AS u
+  FROM st),
+ agg AS (SELECT audio_id, b, sum(((u // ([$pows])[b+1]) % 2)*2 - 1) AS s
+  FROM wh, unnest(range(0,64)) AS v(b) GROUP BY audio_id, b),
+ fp AS (SELECT audio_id, sum(CASE WHEN s > 0 THEN ([$pows])[b+1] ELSE 0::HUGEINT END) AS f
+  FROM agg GROUP BY audio_id)
+SELECT audio_id, CAST(CASE WHEN f >= 9223372036854775808::HUGEINT THEN f - $W ELSE f END AS BIGINT) AS fingerprint
+FROM fp ORDER BY audio_id"""
+    },
+
     // IVF ANN, Lloyd's unrolled (3 fixed iterations, nlist=8, nprobe=4):
     // init = first nlist vectors (id order) milli-quantized; each round
     // assigns by cosine (ties → lowest cid) and re-centers on the

@@ -249,9 +249,9 @@ object Queries {
   /** Audio modality surface (B16): deterministic audio table derived from
     * documents (bytes = UTF-8 of the text, duration from its length) →
     * hop-window features → majority-vote 64-bit fingerprints. The stub PCM
-    * decode is a JVM kernel (wrapping 64-bit arithmetic), not
-    * SQL-expressible — no DuckDB oracle, driver records the rows-only
-    * check; semantics are pinned by AudioOpsSpec. */
+    * decode is wrapping 64-bit JVM arithmetic, emulated exactly by the
+    * DuckDB oracle in HUGEINT mod 2^64 (see OracleSql's q39 comment) —
+    * hash-exact since round 4; semantics also pinned by AudioOpsSpec. */
   def audioFingerprints(s: SparkSession, dir: String): DataFrame = {
     val audio = docs(s, dir).select(col("doc_id").as("audio_id"),
       col("text").cast("binary").as("bytes"),

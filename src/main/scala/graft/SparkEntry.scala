@@ -49,8 +49,6 @@ object SparkEntry {
     "q36_embedding_near_dup" -> (Queries.embeddingNearDup(_, _)),
     "q37_ann_banded_topk" -> (Queries.annBandedTopK(_, _)),
     "q38_wordcount_rich" -> (Queries.wordCountRich(_, _)),
-    // no oracle (JVM stub-decode kernel): driver rows-only check; semantics
-    // pinned by AudioOpsSpec
     "q39_audio_fingerprints" -> (Queries.audioFingerprints(_, _)),
     "q40_ann_ivf_topk" -> (Queries.annIvfTopK(_, _)),
     "q41_cross_dedup_pairs" -> (Queries.crossDedupPairs(_, _)),

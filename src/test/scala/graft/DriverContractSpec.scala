@@ -9,9 +9,10 @@ import org.scalatest.matchers.should.Matchers
   * query was renamed away) fails here before the driver ever runs. */
 class DriverContractSpec extends AnyFlatSpec with Matchers {
 
-  /** Queries with no SQL-expressible oracle, each documented at its
-    * SparkEntry registration: q39 (JVM stub-decode audio kernel). */
-  private val RowsOnly = Set("q39_audio_fingerprints")
+  /** Queries with no SQL-expressible oracle. Empty since round 4: q39's
+    * wrapping 64-bit stub arithmetic is emulated in HUGEINT and q40's
+    * k-means went fixed-point — every registered query is hash-checked. */
+  private val RowsOnly = Set.empty[String]
 
   "SparkEntry" should "have an oracle for every query except the documented rows-only set" in {
     val queries = SparkEntry.queries.keySet
