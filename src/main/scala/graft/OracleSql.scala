@@ -495,8 +495,11 @@ FROM sm GROUP BY token ORDER BY token"""
     // HUGEINT → signed cast). Energy/zero-crossings are computed by
     // featureTable but never read by fingerprints, so the oracle skips
     // them. Byte values come from unicode(char) — identical to the JVM's
-    // signed UTF-8 bytes on the ASCII testdata (same documented ASCII
-    // dependency as q44's regex parity).
+    // signed UTF-8 bytes on ASCII text only; measured on the edge fixture:
+    // the 2 non-ASCII docs (accented, emoji) diverge exactly as this byte
+    // model predicts while all 13 ASCII docs hash-match. A production
+    // deployment feeds real codec bytes here, so the stub-only divergence
+    // has no non-stub analog.
     "q39_audio_fingerprints" -> {
       val W = "18446744073709551616::HUGEINT"
       val pows = (0 until 64).map(BigInt(1) << _).mkString(",")

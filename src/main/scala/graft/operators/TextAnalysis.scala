@@ -80,10 +80,11 @@ object TextAnalysis {
     * runs, digit runs, and single non-space symbols — the GPT-2-style
     * pretoken shape without a merges table, so its count tracks what a
     * subword tokenizer would see far better than whitespace splitting on
-    * punctuation-heavy text. NOTE: Java regex counts astral-plane symbols
-    * per UTF-16 code unit while RE2 (the DuckDB oracle) counts per code
-    * point — the oracle contract holds on the (ASCII) driver testdata and
-    * any BMP corpus. */
+    * punctuation-heavy text. Java-vs-RE2 parity VERIFIED beyond ASCII
+    * (round 4): Java regex char classes match per code POINT — including
+    * supplementary-plane symbols — exactly like RE2, so q44 hash-matches
+    * the DuckDB oracle on the emoji/astral docs of tools/edge_fixture.py
+    * (measured, not assumed). */
   val BpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
   /** Per-doc token accounting: whitespace tokens next to BPE-ish pretokens
