@@ -657,6 +657,38 @@ SELECT doc_id, stratum::BIGINT AS stratum, sample_rank FROM rk WHERE sample_rank
    FROM documents d LEFT JOIN comp ON comp.id = d.doc_id)
 SELECT doc_id, cluster_id,
  (CASE WHEN (($M * (cluster_id % $P) + $LcgAddA) % $P) % 1000 < 900 THEN 'train' ELSE 'eval' END) AS split
-FROM cl ORDER BY doc_id"""
+FROM cl ORDER BY doc_id""",
+
+    // PII scrub: same RE2-compatible patterns (TextAnalysis.Pii*), same
+    // pinned replace order email → ip → phone; DuckDB regexp_replace needs
+    // the 'g' flag to match Spark's replace-all
+    "q48_pii_scrub" -> {
+      val em = graft.operators.TextAnalysis.PiiEmail
+      val ip = graft.operators.TextAnalysis.PiiIp
+      val ph = graft.operators.TextAnalysis.PiiPhone
+      s"""SELECT doc_id,
+ len(regexp_extract_all(text, '$em'))::BIGINT AS n_emails,
+ len(regexp_extract_all(text, '$ip'))::BIGINT AS n_ips,
+ len(regexp_extract_all(text, '$ph'))::BIGINT AS n_phones,
+ regexp_replace(regexp_replace(regexp_replace(text, '$em', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$ph', '<PHONE>', 'g') AS redacted
+FROM documents ORDER BY doc_id"""
+    },
+
+    // eval-benchmark contamination: per eval doc (doc_id % 17 = 0), the
+    // share of its distinct 8-gram hashes present in the corpus rest —
+    // reuses q12's rolling gram-hash formulation
+    "q49_contamination" ->
+      s"""WITH $toks,
+ th AS (SELECT doc_id, [${strHash("tok")} FOR tok IN t] AS hs FROM toks WHERE len(t) >= $L),
+ gh AS (SELECT DISTINCT doc_id,
+   unnest([list_reduce(list_prepend(CAST(0 AS BIGINT), hs[i+1:i+$L]), (h,x) -> (h*$B+x) % $P) FOR i IN range(0, len(hs)-${L - 1})]) AS gram_hash
+   FROM th),
+ eg AS (SELECT doc_id, gram_hash FROM gh WHERE doc_id % 17 = 0),
+ cg AS (SELECT DISTINCT gram_hash FROM gh WHERE doc_id % 17 <> 0),
+ j AS (SELECT eg.doc_id, CASE WHEN cg.gram_hash IS NULL THEN 0 ELSE 1 END AS hit
+   FROM eg LEFT JOIN cg ON cg.gram_hash = eg.gram_hash)
+SELECT doc_id, count(*)::BIGINT AS n_grams, sum(hit)::BIGINT AS n_shared,
+ (sum(hit)::BIGINT * 1000) // count(*)::BIGINT AS contam_millis
+FROM j GROUP BY doc_id ORDER BY doc_id"""
   )
 }

@@ -369,6 +369,27 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** PII detection + redaction over documents (training-data hygiene):
+    * per-doc match counts for emails / IPv4s / phone-like digit runs and
+    * the redacted text. Pure map-side codegen'd regex scan. */
+  def piiScrub(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.piiScrub(docs(s, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  /** Eval-benchmark contamination check: eval set = doc_id % 17 == 0,
+    * corpus = the rest; per eval doc the share of its distinct 8-gram
+    * hashes present anywhere in the corpus (broadcast-filtered — the
+    * corpus is scanned once, never shuffled by gram). */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    TextAnalysis.contamination(
+        d.where(col("doc_id") % 17L =!= 0L), d.where(col("doc_id") % 17L === 0L),
+        "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   // ---- relational operators (reference A-rows over TPC-H-ish tables) -------
 
   def aggPricing(s: SparkSession, dir: String): DataFrame =

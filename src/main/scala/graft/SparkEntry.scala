@@ -57,7 +57,9 @@ object SparkEntry {
     "q44_token_bpeish" -> (Queries.tokenBpeish(_, _)),
     "q45_sample_bernoulli" -> (Queries.sampleBernoulli(_, _)),
     "q46_sample_stratified" -> (Queries.sampleStratified(_, _)),
-    "q47_split_leakfree" -> (Queries.splitLeakFree(_, _))
+    "q47_split_leakfree" -> (Queries.splitLeakFree(_, _)),
+    "q48_pii_scrub" -> (Queries.piiScrub(_, _)),
+    "q49_contamination" -> (Queries.contamination(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

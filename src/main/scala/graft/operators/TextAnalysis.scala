@@ -217,4 +217,67 @@ object TextAnalysis {
       .distinct()
     SkewSalting.selfJoinPairs(grams, Seq("gram_hash"), "id", saltCap, saltFanout)
   }
+
+  // ---- PII scrubbing (training-data hygiene: detect + redact emails,
+  // IPv4 addresses and phone-like digit runs before anything trains on
+  // the text) -----------------------------------------------------------
+
+  /** Conservative, lookaround-free PII patterns — RE2-compatible by
+    * construction (character classes + bounded repetition + \b only), so
+    * the DuckDB oracle runs the very same automaton and the redaction is
+    * engine-portable. Deliberately over-matches (a date like `2020-01-01`
+    * redacts as a phone-like digit run): for training-data hygiene a
+    * deterministic false positive beats a leaked number. */
+  val PiiEmail: String = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PiiIp: String = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PiiPhone: String = "\\+?[0-9][0-9 -]{7,}[0-9]"
+
+  /** (id, n_emails, n_ips, n_phones, redacted): match counts per class and
+    * the text with every match replaced by its class tag. Pure codegen'd
+    * column expressions — a map-side scan at any corpus size. Redaction
+    * order is pinned (email → ip → phone) so overlapping matches resolve
+    * deterministically: an email's digits can no longer phone-match once
+    * the email is collapsed to `<EMAIL>`. */
+  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      size(regexp_extract_all(col(textCol), lit(PiiEmail), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(PiiIp), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(col(textCol), lit(PiiPhone), lit(0))).cast("long").as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), PiiEmail, "<EMAIL>"),
+          PiiIp, "<IP>"),
+        PiiPhone, "<PHONE>").as("redacted"))
+
+  // ---- benchmark-contamination check (train/test overlap) ---------------
+
+  /** For each eval-set document, the share of its distinct l-gram hashes
+    * that also occur anywhere in the training corpus — the standard
+    * eval-benchmark contamination measure (an eval doc whose grams largely
+    * appear in training data is leaked, and its scores are meaningless).
+    *
+    * Output: (id, n_grams, n_shared, contam_millis) for every eval doc
+    * with ≥ l tokens; contam_millis = n_shared·1000 div n_grams.
+    *
+    * Scale shape: the eval set is tiny next to a 100 TB corpus, so its
+    * distinct gram set BROADCASTS and the corpus-side gram stream is
+    * filtered map-side (left_semi against the broadcast) — the corpus is
+    * touched by one linear scan, never shuffled by gram; only the
+    * (≤ |eval grams|) surviving gram hashes flow into the final per-doc
+    * membership join. */
+  def contamination(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+                    textCol: String, l: Int = SubstringL): DataFrame = {
+    def grams(df: DataFrame) = df.select(col(idCol).as("id"),
+        explode(graft.functions.GraftExpressions.gramHashes(
+          tokens(col(textCol)), l)).as("gram_hash"))
+      .distinct()
+    val eg = grams(evalSet).localCheckpoint(false)
+    val matched = grams(corpus)
+      .join(broadcast(eg.select("gram_hash").distinct()), Seq("gram_hash"), "left_semi")
+      .select("gram_hash").distinct()
+    eg.join(broadcast(matched.withColumn("hit", lit(1L))), Seq("gram_hash"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"), sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
+      .withColumn("contam_millis", expr("(n_shared * 1000) div n_grams"))
+  }
 }

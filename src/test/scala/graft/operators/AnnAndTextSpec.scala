@@ -202,4 +202,43 @@ class AnnAndTextSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     m("b") shouldBe ((1L, 1L))
     m("c") shouldBe ((1L, 1L))
   }
+
+  "piiScrub" should "count and redact emails, IPs and phone-like runs in pinned order" in {
+    val d = Seq(
+      (1L, "contact bob.smith+spam@example.co.uk or 10.0.0.1 now"),
+      (2L, "call +1 555 123-4567 today"),
+      (3L, "nothing here"),
+      (4L, "two mails a@b.io c@d.org and date 2020-01-01 03:04")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    out(1L) shouldBe ((1L, 1L, 0L, "contact <EMAIL> or <IP> now"))
+    out(2L) shouldBe ((0L, 0L, 1L, "call <PHONE> today"))
+    out(3L) shouldBe ((0L, 0L, 0L, "nothing here"))
+    // dates over-redact as phone-like digit runs — deliberate (scaladoc):
+    // a deterministic false positive beats a leaked number. The greedy
+    // run extends through the space into "03" ("2020-01-01 03"), stopping
+    // at the colon — identical leftmost-first greedy semantics in RE2.
+    out(4L) shouldBe ((2L, 0L, 1L, "two mails <EMAIL> <EMAIL> and date <PHONE>:04"))
+  }
+
+  "contamination" should "measure each eval doc's shared-gram share against the corpus" in {
+    val leaked = "one two three four five six seven eight" // 8 tokens = exactly one 8-gram
+    val corpus = Seq(
+      (1L, s"prefix $leaked suffix words continue onward"),
+      (2L, "totally unrelated corpus content with many various tokens inside")
+    ).toDF("doc_id", "text")
+    val evalSet = Seq(
+      (100L, leaked),                                            // fully leaked
+      (101L, "alpha beta gamma delta epsilon zeta eta theta"),   // clean
+      (102L, "too short")                                        // < 8 tokens → no grams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.contamination(corpus, evalSet, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getAs[Long]("contam_millis")))).toMap
+    out(100L) shouldBe ((1L, 1L, 1000L))
+    out(101L) shouldBe ((1L, 0L, 0L))
+    out.keySet should not contain 102L
+  }
 }
