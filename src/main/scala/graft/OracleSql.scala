@@ -689,6 +689,20 @@ FROM documents ORDER BY doc_id"""
    FROM eg LEFT JOIN cg ON cg.gram_hash = eg.gram_hash)
 SELECT doc_id, count(*)::BIGINT AS n_grams, sum(hit)::BIGINT AS n_shared,
  (sum(hit)::BIGINT * 1000) // count(*)::BIGINT AS contam_millis
-FROM j GROUP BY doc_id ORDER BY doc_id"""
+FROM j GROUP BY doc_id ORDER BY doc_id""",
+
+    // intra-doc repetition: duplicate-8-gram OCCURRENCE share per doc —
+    // q12's rolling gram hashes WITHOUT the distinct (positions counted)
+    "q50_repetition" ->
+      s"""WITH $toks,
+ th AS (SELECT doc_id, [${strHash("tok")} FOR tok IN t] AS hs FROM toks WHERE len(t) >= $L),
+ gpos AS (SELECT doc_id,
+   unnest([list_reduce(list_prepend(CAST(0 AS BIGINT), hs[i+1:i+$L]), (h,x) -> (h*$B+x) % $P) FOR i IN range(0, len(hs)-${L - 1})]) AS gram_hash
+   FROM th),
+ gcnt AS (SELECT doc_id, gram_hash, count(*)::BIGINT AS cnt FROM gpos GROUP BY doc_id, gram_hash)
+SELECT doc_id, sum(cnt)::BIGINT AS n_grams,
+ sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END)::BIGINT AS n_dup_grams,
+ (sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END)::BIGINT * 1000) // sum(cnt)::BIGINT AS rep_millis
+FROM gcnt GROUP BY doc_id ORDER BY doc_id"""
   )
 }

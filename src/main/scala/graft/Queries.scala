@@ -390,6 +390,13 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Intra-document repetition score (duplicate-8-gram share — the
+    * Gopher-style repetition quality filter). */
+  def repetitionScore(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetition(docs(s, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   // ---- relational operators (reference A-rows over TPC-H-ish tables) -------
 
   def aggPricing(s: SparkSession, dir: String): DataFrame =

@@ -59,7 +59,8 @@ object SparkEntry {
     "q46_sample_stratified" -> (Queries.sampleStratified(_, _)),
     "q47_split_leakfree" -> (Queries.splitLeakFree(_, _)),
     "q48_pii_scrub" -> (Queries.piiScrub(_, _)),
-    "q49_contamination" -> (Queries.contamination(_, _))
+    "q49_contamination" -> (Queries.contamination(_, _)),
+    "q50_repetition" -> (Queries.repetitionScore(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

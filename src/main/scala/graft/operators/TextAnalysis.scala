@@ -249,6 +249,26 @@ object TextAnalysis {
           PiiIp, "<IP>"),
         PiiPhone, "<PHONE>").as("redacted"))
 
+  // ---- intra-document repetition (Gopher-style quality signal) ----------
+
+  /** Per-document duplicate-l-gram share: n_grams counts every l-gram
+    * OCCURRENCE (position), n_dup_grams the occurrences whose gram appears
+    * ≥ 2 times in the same document, rep_millis their ratio — the
+    * "fraction of duplicated n-grams" repetition filter corpus-curation
+    * recipes cut on (templated/spammy text scores high). Docs with < l
+    * tokens emit nothing. Two map-side-combining groupBys, no join — a
+    * per-document computation at any corpus size. */
+  def repetition(df: DataFrame, idCol: String, textCol: String,
+                 l: Int = SubstringL): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(graft.functions.GraftExpressions.gramHashes(
+          tokens(col(textCol)), l)).as("gram_hash"))
+      .groupBy("id", "gram_hash").agg(count(lit(1)).as("cnt"))
+      .groupBy("id")
+      .agg(sum(col("cnt")).as("n_grams"),
+        sum(when(col("cnt") >= 2L, col("cnt")).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("rep_millis", expr("(n_dup_grams * 1000) div n_grams"))
+
   // ---- benchmark-contamination check (train/test overlap) ---------------
 
   /** For each eval-set document, the share of its distinct l-gram hashes

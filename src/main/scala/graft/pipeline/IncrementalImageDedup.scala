@@ -68,6 +68,18 @@ object IncrementalImageDedup {
   private def foldBands(b: DataFrame): DataFrame = b.select(
     (col("band_idx") * lit(P) + col("band_hash")).as("bucket"), col("id"))
 
+  /** The current (latest-generation) folded corpus band snapshot —
+    * what streaming ingest joins
+    * ([[graft.streaming.StreamingDedup.nearDupAgainstCorpusSnapshot]]) and
+    * [[absorb]] extends; resolving through here keeps stream and batch on
+    * one corpus view across absorb generations. Fails loudly if no import
+    * has staged corpus bands in this store yet. */
+  def corpusBands(ckpt: StageStore): DataFrame = {
+    val name = corpusName("inc_corpus_bands", latestGen(ckpt))
+    ckpt.stage(name)(sys.error(
+      s"no corpus band snapshot '$name' in this store — run an import first"))
+  }
+
   /** Bench/test run without durable snapshots: multiply-consumed stages are
     * lazily localCheckpoint'ed, the rest stay lazy plans. */
   def runDirect(spark: SparkSession, corpus: DataFrame, corpusClusters: DataFrame,

@@ -223,6 +223,24 @@ class AnnAndTextSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     out(4L) shouldBe ((2L, 0L, 1L, "two mails <EMAIL> <EMAIL> and date <PHONE>:04"))
   }
 
+  "repetition" should "score the duplicate-gram share of templated text" in {
+    val phrase = "one two three four five six seven eight" // exactly one 8-gram
+    val d = Seq(
+      (1L, s"$phrase $phrase $phrase"),                      // heavy repetition
+      (2L, "all distinct tokens here make nine unique grams fine ok"),
+      (3L, "short doc")                                      // < 8 tokens → absent
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getAs[Long]("rep_millis")))).toMap
+    // doc 1: 24 tokens → 17 gram positions; the token sequence is periodic
+    // with period 8, so gram(i) == gram(i+8) for every i — ALL 17
+    // positions are duplicates (gram_0 occurs 3×, grams 1..7 occur 2×)
+    out(1L) shouldBe ((17L, 17L, 1000L))
+    out(2L) shouldBe ((3L, 0L, 0L))
+    out.keySet should not contain 3L
+  }
+
   "contamination" should "measure each eval doc's shared-gram share against the corpus" in {
     val leaked = "one two three four five six seven eight" // 8 tokens = exactly one 8-gram
     val corpus = Seq(

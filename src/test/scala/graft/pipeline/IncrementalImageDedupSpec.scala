@@ -105,9 +105,13 @@ class IncrementalImageDedupSpec extends AnyFlatSpec with Matchers with SparkTest
     val s1 = new StageCheckpoint(spark, dir)
     val out1 = IncrementalImageDedup.run(spark, corpus, c0, d1, s1, "d1").localCheckpoint()
     out1.count()
+    val bandsGen0 = IncrementalImageDedup.corpusBands(s1).count()
     IncrementalImageDedup.absorb(spark, s1, "d1") shouldBe 1
     val s2 = new StageCheckpoint(spark, dir)
     IncrementalImageDedup.latestGen(s2) shouldBe 1
+    // the corpus-band view streaming/batch share now resolves generation 1
+    // and includes the absorbed delta's bands
+    IncrementalImageDedup.corpusBands(s2).count() should be > bandsGen0
 
     // import 2 runs against the GROWN corpus (caller appended d1) and the
     // absorbed artifacts — and must equal one full re-run over everything
