@@ -703,6 +703,25 @@ FROM j GROUP BY doc_id ORDER BY doc_id""",
 SELECT doc_id, sum(cnt)::BIGINT AS n_grams,
  sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END)::BIGINT AS n_dup_grams,
  (sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END)::BIGINT * 1000) // sum(cnt)::BIGINT AS rep_millis
-FROM gcnt GROUP BY doc_id ORDER BY doc_id"""
+FROM gcnt GROUP BY doc_id ORDER BY doc_id""",
+
+    // quality-aware keeper per near-dup cluster: q08's clustering + per-doc
+    // lexical diversity; keeper = max n_distinct, ties to lowest doc_id
+    "q51_keep_best" ->
+      s"""WITH RECURSIVE $textPipeline,
+ reps AS (SELECT lower(text) AS lt, min(doc_id) AS rep FROM documents GROUP BY 1),
+ exd AS (SELECT r.rep AS a, d.doc_id AS b FROM reps r JOIN (SELECT doc_id, lower(text) AS lt FROM documents) d USING (lt) WHERE d.doc_id <> r.rep),
+ edges AS (SELECT a, b FROM ver UNION SELECT a, b FROM exd),
+ ed AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+ reach(id, lbl) AS (SELECT a, a FROM ed UNION SELECT ed.b, reach.lbl FROM reach JOIN ed ON ed.a = reach.id),
+ comp AS (SELECT id, min(lbl) AS cid FROM reach GROUP BY id),
+ cl AS (SELECT d.doc_id, COALESCE(comp.cid, d.doc_id) AS cluster_id
+   FROM documents d LEFT JOIN comp ON comp.id = d.doc_id),
+ q AS (SELECT doc_id, len(list_distinct(t))::BIGINT AS nd FROM toks),
+ sc AS (SELECT cl.doc_id, cl.cluster_id, q.nd FROM cl JOIN q USING (doc_id)),
+ kp AS (SELECT cluster_id, doc_id AS keeper FROM (
+   SELECT cluster_id, doc_id, row_number() OVER (PARTITION BY cluster_id ORDER BY nd DESC, doc_id) AS rk
+   FROM sc) WHERE rk = 1)
+SELECT sc.doc_id, sc.cluster_id, kp.keeper FROM sc JOIN kp USING (cluster_id) ORDER BY sc.doc_id"""
   )
 }

@@ -390,6 +390,27 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Quality-aware keeper per near-dup cluster — the production "which
+    * duplicate survives" policy: cluster docs end-to-end, then keep the
+    * member with the highest lexical diversity (n_distinct tokens, ties →
+    * lowest doc_id). Keeper selection is one map-side-combining
+    * max(struct) aggregate per cluster + a join-back — no window, no
+    * straggler. Output: (doc_id, cluster_id, keeper). */
+  def keepBest(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val edges = MinHashLsh.dedupEdges(d, "doc_id", "text")
+    val clusters = ConnectedComponents.run(s, edges, Some(d.select(col("doc_id").as("id"))))
+      .select(col("id").as("doc_id"), col("cluster_id"))
+    val q = TextAnalysis.qualityScore(d, "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_distinct"))
+    val scored = clusters.join(q, "doc_id")
+    val keepers = scored.groupBy("cluster_id")
+      .agg(max(struct(col("n_distinct").as("s"), negate(col("doc_id")).as("nid"))).as("best"))
+      .select(col("cluster_id"), negate(col("best")("nid")).cast("long").as("keeper"))
+    scored.select("doc_id", "cluster_id").join(keepers, "cluster_id")
+      .select("doc_id", "cluster_id", "keeper").orderBy("doc_id")
+  }
+
   /** Intra-document repetition score (duplicate-8-gram share — the
     * Gopher-style repetition quality filter). */
   def repetitionScore(s: SparkSession, dir: String): DataFrame =

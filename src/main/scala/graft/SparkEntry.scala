@@ -60,7 +60,8 @@ object SparkEntry {
     "q47_split_leakfree" -> (Queries.splitLeakFree(_, _)),
     "q48_pii_scrub" -> (Queries.piiScrub(_, _)),
     "q49_contamination" -> (Queries.contamination(_, _)),
-    "q50_repetition" -> (Queries.repetitionScore(_, _))
+    "q50_repetition" -> (Queries.repetitionScore(_, _)),
+    "q51_keep_best" -> (Queries.keepBest(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

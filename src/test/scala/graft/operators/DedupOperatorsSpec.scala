@@ -62,6 +62,21 @@ class DedupOperatorsSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     fast(5L) shouldBe 5L    // "doc 5" first appears at id 5
   }
 
+  "Queries.keepBest" should "keep the highest-diversity member of each near-dup cluster" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft_keep").toString
+    // doc 0 = base with "slow" replaced by an ALREADY-PRESENT token →
+    // one fewer distinct token; doc 1 = base. Near-dups (1-token edit),
+    // cluster labeled min id 0, but the KEEPER must be the
+    // higher-diversity doc 1 — quality beats id order.
+    Seq((0L, base.replace("slow", "key")), (1L, base), (2L, unrelated))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = graft.Queries.keepBest(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    out(0L) shouldBe ((0L, 1L))
+    out(1L) shouldBe ((0L, 1L))
+    out(2L) shouldBe ((2L, 2L))
+  }
+
   "exactCollapse" should "pick min id as representative" in {
     val (reps, star) = MinHashLsh.exactCollapse(docsDf, "doc_id", "text")
     reps.count() shouldBe 4 // 5 docs, one exact dup collapsed
