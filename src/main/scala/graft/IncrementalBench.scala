@@ -126,7 +126,47 @@ object IncrementalBench {
       s""","warm_scaling":{${entries.map(e => s""""c${e._1}":${e._2}""").mkString(",")},"efficiency":$eff}"""
     }.getOrElse("")
 
-    println(s"""{"bench":"incremental","n":$n,"delta_pct":$deltaPct,"delta_rows":$deltaRows,"cores":$cores,"full_sec":$fullSec,"inc_cold_sec":$coldSec,"inc_warm_sec":$warmSec,"speedup_cold":${fullSec / coldSec},"speedup_warm":${fullSec / warmSec},"recall_cold":$recallCold,"recall_warm":$recallWarm$scalingJson}""")
+    // optional: the daily-ingest STEADY STATE (GRAFT_BENCH_ABSORB=1,
+    // requires delta_pct=10 so the delta splits into two disjoint days):
+    // day-1 import (d1 = id%20==18) → absorb(d1) → day-2 import
+    // (d2 = id%20==19) against the GROWN corpus and absorbed artifacts.
+    // Measures what a production loop pays per day: the absorb itself
+    // (delta-sized) and the next import (corpus restage avoided).
+    val absorbJson = if (sys.env.get("GRAFT_BENCH_ABSORB").contains("1") && deltaPct == 10) {
+      val dir2 = s"/tmp/graft_inc_bench_absorb_$n"
+      deleteRecursively(new java.io.File(dir2))
+      val out1Path = s"$dir2/out1_clusters"
+      val idNum = expr("cast(substring(image_id, 5) as bigint)")
+      val day1Sec = phase("seq-imp1") { s =>
+        val all = s.read.parquet(inputPath)
+        val t0 = System.nanoTime()
+        IncrementalImageDedup.run(s, all.where(idNum % 20 < 18),
+            s.read.parquet(clustersPath), all.where(idNum % 20 === 18),
+            new StageCheckpoint(s, dir2), "sd1")
+          .write.mode("overwrite").parquet(out1Path)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val absorbSec = phase("absorb") { s =>
+        val t0 = System.nanoTime()
+        IncrementalImageDedup.absorb(s, new StageCheckpoint(s, dir2), "sd1")
+        (System.nanoTime() - t0) / 1e9
+      }
+      val (day2Sec, recall2) = phase("seq-imp2") { s =>
+        val all = s.read.parquet(inputPath)
+        val t0 = System.nanoTime()
+        val out2 = IncrementalImageDedup.run(s, all.where(idNum % 20 < 19),
+            s.read.parquet(out1Path), all.where(idNum % 20 === 19),
+            new StageCheckpoint(s, dir2), "sd2")
+          .localCheckpoint()
+        out2.count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val (r, _, _) = Main.pairRecall(out2, SyntheticImages.truth(s, n).toDF())
+        (wall, r)
+      }
+      s""","absorb_loop":{"day1_sec":$day1Sec,"absorb_sec":$absorbSec,"day2_sec":$day2Sec,"recall_day2":$recall2}"""
+    } else ""
+
+    println(s"""{"bench":"incremental","n":$n,"delta_pct":$deltaPct,"delta_rows":$deltaRows,"cores":$cores,"full_sec":$fullSec,"inc_cold_sec":$coldSec,"inc_warm_sec":$warmSec,"speedup_cold":${fullSec / coldSec},"speedup_warm":${fullSec / warmSec},"recall_cold":$recallCold,"recall_warm":$recallWarm$scalingJson$absorbJson}""")
   }
 
   private def session(cores: Int): SparkSession = {
