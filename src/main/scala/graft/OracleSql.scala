@@ -722,6 +722,19 @@ FROM gcnt GROUP BY doc_id ORDER BY doc_id""",
  kp AS (SELECT cluster_id, doc_id AS keeper FROM (
    SELECT cluster_id, doc_id, row_number() OVER (PARTITION BY cluster_id ORDER BY nd DESC, doc_id) AS rk
    FROM sc) WHERE rk = 1)
-SELECT sc.doc_id, sc.cluster_id, kp.keeper FROM sc JOIN kp USING (cluster_id) ORDER BY sc.doc_id"""
+SELECT sc.doc_id, sc.cluster_id, kp.keeper FROM sc JOIN kp USING (cluster_id) ORDER BY sc.doc_id""",
+
+    // incremental embedding near-dup: banded multi-table buckets (q37's
+    // bucketBandSql) crossed master×staging (vec_id%4), exact cosine ≥ 0.4
+    "q52_embedding_cross_near_dup" ->
+      s"""WITH tb AS (SELECT vec_id, embedding, t, ${bucketBandSql("embedding", "t")} AS bucket
+   FROM embeddings, unnest(range(0, $AnnBandTables)) AS u(t)),
+ p AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+   FROM tb x JOIN tb y ON x.t = y.t AND x.bucket = y.bucket
+   WHERE x.vec_id % 4 <> 0 AND y.vec_id % 4 = 0),
+ s AS (SELECT a, b, ${cosSql("xe", "ye")} AS cos
+  FROM (SELECT p.a, p.b, ea.embedding AS xe, eb.embedding AS ye
+    FROM p JOIN embeddings ea ON ea.vec_id = p.a JOIN embeddings eb ON eb.vec_id = p.b))
+SELECT a AS vec_a, b AS vec_b FROM s WHERE cos >= 0.4 ORDER BY vec_a, vec_b"""
   )
 }

@@ -390,6 +390,18 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Incremental embedding near-dup — the ANN sibling of q41's
+    * master×staging split: verified banded CROSS pairs between a corpus
+    * (vec_id % 4 ≠ 0) and a delta batch (% 4 = 0), τ = 0.4 (the testdata
+    * regime, as q36). Corpus buckets with no delta row drop map-side. */
+  def embeddingCrossNearDup(s: SparkSession, dir: String): DataFrame = {
+    val c = vecs(s, dir)
+    AnnSearch.nearDupPairsBandedAgainst(
+        c.where(col("id") % 4L =!= 0L), c.where(col("id") % 4L === 0L), tau = 0.4)
+      .select(col("a").as("vec_a"), col("b").as("vec_b"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** Quality-aware keeper per near-dup cluster — the production "which
     * duplicate survives" policy: cluster docs end-to-end, then keep the
     * member with the highest lexical diversity (n_distinct tokens, ties →

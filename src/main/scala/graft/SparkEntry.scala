@@ -61,7 +61,8 @@ object SparkEntry {
     "q48_pii_scrub" -> (Queries.piiScrub(_, _)),
     "q49_contamination" -> (Queries.contamination(_, _)),
     "q50_repetition" -> (Queries.repetitionScore(_, _)),
-    "q51_keep_best" -> (Queries.keepBest(_, _))
+    "q51_keep_best" -> (Queries.keepBest(_, _)),
+    "q52_embedding_cross_near_dup" -> (Queries.embeddingCrossNearDup(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -160,6 +160,27 @@ object AnnSearch {
     rankTopK(cand, corpus, queries, k)
   }
 
+  /** Incremental (delta-vs-corpus) banded embedding near-dup — the ANN
+    * sibling of the text/image pipelines' master×staging import: verified
+    * cross pairs (a = corpus id, b = delta id) between a new embedding
+    * batch and an existing corpus, via [[SkewSalting.crossJoinPairs]] on
+    * the folded banded bucket key — corpus buckets with no delta row are
+    * dropped MAP-SIDE (delta-bucket bloom), so shuffle volume tracks the
+    * delta's bucket footprint, never the corpus's. Exact cosine ≥ tau
+    * verifies, same as [[nearDupPairsBanded]]. */
+  def nearDupPairsBandedAgainst(corpus: DataFrame, delta: DataFrame, tau: Double,
+                                tables: Int = AnnBandTables,
+                                planesPerTable: Int = AnnBandPlanes,
+                                saltCap: Int = SaltCap,
+                                saltFanout: Int = SaltFanout): DataFrame = {
+    def folded(df: DataFrame) = lshBucketsBanded(df, tables, planesPerTable)
+      .select((col("table_idx") * lit(1L << planesPerTable) + col("bucket")).as("bucket"),
+        col("id"))
+    val cand = SkewSalting.crossJoinPairs(folded(corpus), folded(delta),
+      Seq("bucket"), "id", saltCap, saltFanout)
+    verifyCosine(cand, corpus.unionByName(delta), tau)
+  }
+
   /** Banded ANN: candidates from the multi-table bucket join (union over
     * tables, dedup'd — a pair colliding in several tables scores once),
     * exact cosine top-k re-rank. Recall vs [[bruteForceTopK]] is governed

@@ -203,6 +203,22 @@ class AnnAndTextSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     m("c") shouldBe ((1L, 1L))
   }
 
+  "nearDupPairsBandedAgainst" should "equal the cross-side subset of the banded self-join" in {
+    val emb = realEmb
+    val corpus = emb.where(col("id") % 4L =!= 0L)
+    val delta = emb.where(col("id") % 4L === 0L)
+    val cross = AnnSearch.nearDupPairsBandedAgainst(corpus, delta, tau = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val self = AnnSearch.nearDupPairsBanded(emb, tau = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = self.collect {
+      case (x, y) if x % 4 != 0 && y % 4 == 0 => (x, y)
+      case (x, y) if x % 4 == 0 && y % 4 != 0 => (y, x)
+    }
+    cross shouldBe expected
+    cross should not be empty // τ=0.3 has cross pairs in this corpus
+  }
+
   "piiScrub" should "count and redact emails, IPs and phone-like runs in pinned order" in {
     val d = Seq(
       (1L, "contact bob.smith+spam@example.co.uk or 10.0.0.1 now"),
