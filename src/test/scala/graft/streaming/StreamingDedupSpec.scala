@@ -135,4 +135,48 @@ class StreamingDedupSpec extends AnyFlatSpec with Matchers with SparkTestBase {
       rows shouldBe Set((1L, 100L))
     } finally q.stop()
   }
+
+  it should "see absorbed deltas through the generation-aware corpus view" in {
+    implicit val sqlCtx = spark.sqlContext
+    // batch side: import a delta whose caption the corpus has NEVER seen,
+    // then absorb it — only after the absorb may a stream of that caption
+    // collide with the corpus view (IncrementalImageDedup.corpusBands)
+    val dir = java.nio.file.Files.createTempDirectory("snd_absorb").toString
+    val all = graft.images.SyntheticImages.generate(spark, 200L).toDF().localCheckpoint()
+    val idNum = expr("cast(substring(image_id, 5) as bigint)")
+    val corpus = all.where(idNum % 20 < 18).localCheckpoint()
+    val freshCaption = longText + " with brand new trailing tokens absent from the corpus"
+    val delta = all.where(idNum % 20 >= 18)
+      .withColumn("caption", lit(freshCaption)).localCheckpoint()
+    val c0 = graft.pipeline.ImageDedupPipeline.runDirect(spark, corpus).localCheckpoint()
+    graft.pipeline.IncrementalImageDedup.run(spark, corpus, c0, delta,
+      new graft.pipeline.StageCheckpoint(spark, dir), "d1").count()
+
+    var nq = 0
+    def collisions(): Set[String] = {
+      nq += 1
+      val mem = MemoryStream[(String, String)] // string ids — the corpus side's are image ids
+      val out = StreamingDedup.nearDupAgainstCorpusSnapshot(
+        mem.toDF().toDF("doc_id", "text"),
+        graft.pipeline.IncrementalImageDedup.corpusBands(
+          new graft.pipeline.StageCheckpoint(spark, dir)),
+        "doc_id", "text")
+      val q = out.writeStream.format("memory").queryName(s"snd_abs_$nq")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        mem.addData(("stream_1", freshCaption))
+        q.processAllAvailable()
+        spark.table(s"snd_abs_$nq").select("corpus_id").distinct()
+          .collect().map(_.getString(0)).toSet
+      } finally q.stop()
+    }
+
+    collisions() shouldBe empty // generation 0 predates the delta
+    graft.pipeline.IncrementalImageDedup.absorb(spark,
+      new graft.pipeline.StageCheckpoint(spark, dir), "d1") shouldBe 1
+    val post = collisions() // generation 1 carries the delta's bands
+    post should not be empty
+    // every collision is with a DELTA row (ids "img_NNN", NNN % 20 >= 18)
+    post.foreach(id => (id.stripPrefix("img_").toLong % 20) should be >= 18L)
+  }
 }
