@@ -259,8 +259,18 @@ object AnnSearch {
     * [[bruteForceTopK]]); recall-vs-cost is the nprobe knob, orthogonal to
     * the LSH paths' (tables, planes). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = AnnTopK,
-              nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
-    val cents = ivfCentroids(corpus, nlist, iters)
+              nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame =
+    ivfTopKWith(ivfCentroids(corpus, nlist, iters), corpus, queries, k, nprobe)
+
+  /** [[ivfTopK]] against PRECOMPUTED centroids — the production index
+    * shape: the coarse quantizer is trained once (a tiny (cid, cvec)
+    * table, stageable through any [[graft.pipeline.StageStore]] and
+    * broadcast at query time), and every subsequent query batch — or a
+    * freshly ingested delta — probes it without re-running Lloyd's.
+    * Deterministic centroids (fixed-point sums) make the staged quantizer
+    * bit-stable across restages. */
+  def ivfTopKWith(cents: DataFrame, corpus: DataFrame, queries: DataFrame,
+                  k: Int = AnnTopK, nprobe: Int = 4): DataFrame = {
     val lists = assignToCentroids(corpus, cents).withColumnRenamed("id", "neighbor_id")
     val probes = queries.crossJoin(broadcast(cents))
       .select(col("id").as("query_id"), col("cid"),

@@ -170,6 +170,21 @@ class AnnAndTextSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     hits.toDouble / nq should be >= 0.95
   }
 
+  "ivfTopKWith" should "serve a staged (parquet round-tripped) quantizer identically" in {
+    val emb = realEmb
+    val queries = emb.where(col("id") < 10)
+    val fresh = AnnSearch.ivfTopK(emb, queries, nlist = 8, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // stage the quantizer once, read it back, query against the snapshot —
+    // the fixed-point centroids are bit-stable through the round trip
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    AnnSearch.ivfCentroids(emb, nlist = 8).write.parquet(s"$dir/cents")
+    val staged = AnnSearch.ivfTopKWith(spark.read.parquet(s"$dir/cents"), emb, queries,
+        nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    staged shouldBe fresh
+  }
+
   "lshBucketsBanded" should "give table 0 buckets consistent with the offset-0 kernel" in {
     val emb = realEmb.limit(50)
     val t0 = AnnSearch.lshBucketsBanded(emb, tables = 1, planesPerTable = 16)
