@@ -735,6 +735,17 @@ SELECT sc.doc_id, sc.cluster_id, kp.keeper FROM sc JOIN kp USING (cluster_id) OR
  s AS (SELECT a, b, ${cosSql("xe", "ye")} AS cos
   FROM (SELECT p.a, p.b, ea.embedding AS xe, eb.embedding AS ye
     FROM p JOIN embeddings ea ON ea.vec_id = p.a JOIN embeddings eb ON eb.vec_id = p.b))
-SELECT a AS vec_a, b AS vec_b FROM s WHERE cos >= 0.4 ORDER BY vec_a, vec_b"""
+SELECT a AS vec_a, b AS vec_b FROM s WHERE cos >= 0.4 ORDER BY vec_a, vec_b""",
+
+    // balanced source mixture: every source downsampled to the smallest
+    // source's size, ranked by the pinned LCG sampling key (seed 0)
+    "q53_balanced_mix" ->
+      s"""WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+ k AS (SELECT min(cnt) AS kk FROM c),
+ r AS (SELECT doc_id, source,
+   row_number() OVER (PARTITION BY source
+     ORDER BY ($M * (doc_id % $P) + $LcgAddA) % $P, doc_id)::BIGINT AS sample_rank
+  FROM documents)
+SELECT doc_id, source, sample_rank FROM r, k WHERE sample_rank <= k.kk ORDER BY doc_id"""
   )
 }

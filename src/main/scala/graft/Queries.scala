@@ -390,6 +390,14 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Balanced source mixture: every `source` stratum deterministically
+    * downsampled to the smallest stratum's size — equal-parts corpus
+    * mixing (layout-independent keys, straggler-proof aggregate). */
+  def balancedMix(s: SparkSession, dir: String): DataFrame =
+    Sampling.balancedMix(docs(s, dir), "doc_id", "source")
+      .select(col("doc_id"), col("source"), col("sample_rank"))
+      .orderBy("doc_id")
+
   /** Incremental embedding near-dup — the ANN sibling of q41's
     * master×staging split: verified banded CROSS pairs between a corpus
     * (vec_id % 4 ≠ 0) and a delta batch (% 4 = 0), τ = 0.4 (the testdata

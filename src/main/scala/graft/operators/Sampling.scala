@@ -61,6 +61,20 @@ object Sampling {
       .drop("_sid")
   }
 
+  /** Balanced mixture: deterministically downsample every stratum (data
+    * source, language, …) to the size of the SMALLEST one — the simplest
+    * training-corpus mixing policy ("equal parts of every source"),
+    * layout-independent like everything here. The minority size is a
+    * scalar aggregate read on the driver (metadata-scale, same class of
+    * decision as SkewSalting's hot-key probe); the sample itself is
+    * [[stratifiedTopK]]'s straggler-proof bounded aggregate. */
+  def balancedMix(df: DataFrame, idCol: String, stratumCol: String,
+                  seed: Long = 0L): DataFrame = {
+    val minCnt = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("cnt"))
+      .agg(min(col("cnt"))).head().getLong(0)
+    stratifiedTopK(df, idCol, stratumCol, minCnt.toInt, seed)
+  }
+
   /** The one-window-per-stratum formulation of [[stratifiedTopK]] — kept as
     * the semantic reference for the property spec (row-identical output);
     * a viral stratum lands whole in one window task here. */

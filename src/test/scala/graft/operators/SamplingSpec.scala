@@ -78,6 +78,38 @@ class SamplingSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     fast.count(_._2 == 99L) shouldBe 5
   }
 
+  "Sampling.balancedMix" should "downsample every stratum to the minority size, layout-independent" in {
+    val df = spark.range(0L, 300L).select(col("id"),
+      when(col("id") < 200L, "web").when(col("id") < 280L, "books")
+        .otherwise("code").as("src"))
+    val picked = Sampling.balancedMix(df, "id", "src")
+    val sizes = picked.groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes shouldBe Map("web" -> 20L, "books" -> 20L, "code" -> 20L)
+    val again = Sampling.balancedMix(df.repartition(11), "id", "src")
+    again.select("id").collect().map(_.getLong(0)).toSet shouldBe
+      picked.select("id").collect().map(_.getLong(0)).toSet
+  }
+
+  "BoundedTopKAgg.Heap" should "keep exactly the k smallest pairs under random updates and merges" in {
+    val rnd = new scala.util.Random(99)
+    (1 to 20).foreach { trial =>
+      val k = 1 + rnd.nextInt(8)
+      val pairs = Seq.fill(1 + rnd.nextInt(60))((rnd.nextInt(20).toLong, rnd.nextLong()))
+      // split into two heaps (the partial buffers), merge via foreach/offer
+      // — the same path TypedImperativeAggregate.merge exercises
+      val (p1, p2) = pairs.splitAt(rnd.nextInt(pairs.size + 1))
+      val h1 = new graft.functions.BoundedTopKAgg.Heap(k)
+      val h2 = new graft.functions.BoundedTopKAgg.Heap(k)
+      p1.foreach { case (a, b) => h1.offer(a, b) }
+      p2.foreach { case (a, b) => h2.offer(a, b) }
+      h2.foreach(h1.offer)
+      withClue(s"trial $trial k=$k n=${pairs.size}") {
+        h1.sortedPairs shouldBe pairs.sorted.take(k)
+      }
+    }
+  }
+
   it should "not overflow on 10^12-scale ids (ANSI mode)" in {
     val big = Seq(2000000000000L, 9000000000000L).toDF("id")
     noException should be thrownBy
