@@ -126,6 +126,36 @@ class IncrementalImageDedupSpec extends AnyFlatSpec with Matchers with SparkTest
     s2.isDone("inc_corpus_annotated_g1") shouldBe true
   }
 
+  it should "chain absorbs across multiple generations (three-day ingest loop)" in {
+    val dir = java.nio.file.Files.createTempDirectory("inc_chain").toString
+    val d1 = all.where(idNum % 20 === 18).localCheckpoint()
+    val d2 = all.where(idNum % 20 === 19).localCheckpoint()
+    // day 3 = genuinely NEW rows beyond the original id space (their
+    // planted dups are delta-internal)
+    val d3 = SyntheticImages.generate(spark, n + 100L).toDF()
+      .where(idNum >= n).localCheckpoint()
+    val c0 = ImageDedupPipeline.runDirect(spark, corpus).localCheckpoint()
+
+    val st = new StageCheckpoint(spark, dir)
+    val out1 = IncrementalImageDedup.run(spark, corpus, c0, d1, st, "e1").localCheckpoint()
+    out1.count()
+    IncrementalImageDedup.absorb(spark, st, "e1") shouldBe 1
+    val corpus2 = corpus.unionByName(d1).localCheckpoint()
+    val out2 = IncrementalImageDedup.run(spark, corpus2, out1, d2,
+      new StageCheckpoint(spark, dir), "e2").localCheckpoint()
+    out2.count()
+    IncrementalImageDedup.absorb(spark, new StageCheckpoint(spark, dir), "e2") shouldBe 2
+    val st3 = new StageCheckpoint(spark, dir)
+    IncrementalImageDedup.latestGen(st3) shouldBe 2
+    val corpus3 = corpus2.unionByName(d2).localCheckpoint()
+    val out3 = IncrementalImageDedup.run(spark, corpus3, out2, d3, st3, "e3")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+    val full = ImageDedupPipeline.runDirect(spark, corpus3.unionByName(d3))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    out3 shouldBe full
+  }
+
   it should "fail loudly when the passed corpus does not match the staged fingerprint" in {
     val dir = java.nio.file.Files.createTempDirectory("inc_fprint").toString
     val d1 = all.where(idNum % 20 === 18).localCheckpoint()
