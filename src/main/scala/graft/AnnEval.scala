@@ -73,8 +73,9 @@ object AnnEval {
       .where(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct().count().toDouble / q.count()
   }
-  private def candIvf(c: DataFrame, q: DataFrame, nlist: Int, nprobe: Int): Double = {
-    val cents = AnnSearch.ivfCentroids(c, nlist)
+  /** Candidate volume of IVF probing against PRECOMPUTED centroids (the
+    * same quantizer the recall measurement used — train once, reuse). */
+  private def candIvf(cents: DataFrame, c: DataFrame, q: DataFrame, nprobe: Int): Double = {
     val lists = AnnSearch.assignToCentroids(c, cents).withColumnRenamed("id", "neighbor_id")
     val probes = q.crossJoin(broadcast(cents))
       .select(col("id").as("query_id"), col("cid"),
@@ -96,14 +97,15 @@ object AnnEval {
       val (r, r1) = recallAt(bf, ann)
       Eval(name, method, r, r1, cand)
     }
+    val cents = AnnSearch.ivfCentroids(c, nlist = 16).localCheckpoint()
     Seq(
       ev(s"single $AnnHyperplanes-plane", AnnSearch.lshTopK(c, q, K), candSingle(c, q)),
       ev(s"banded ${AnnBandTables}x$AnnBandPlanes", AnnSearch.lshTopKBanded(c, q, K),
         candBanded(c, q)),
-      ev("ivf 16/4", AnnSearch.ivfTopK(c, q, K, nlist = 16, nprobe = 4),
-        candIvf(c, q, 16, 4)),
-      ev("ivf 16/8", AnnSearch.ivfTopK(c, q, K, nlist = 16, nprobe = 8),
-        candIvf(c, q, 16, 8)))
+      ev("ivf 16/4", AnnSearch.ivfTopKWith(cents, c, q, K, nprobe = 4),
+        candIvf(cents, c, q, 4)),
+      ev("ivf 16/8", AnnSearch.ivfTopKWith(cents, c, q, K, nprobe = 8),
+        candIvf(cents, c, q, 8)))
   }
 
   def main(args: Array[String]): Unit = {

@@ -660,18 +660,23 @@ SELECT doc_id, cluster_id,
 FROM cl ORDER BY doc_id""",
 
     // PII scrub: same RE2-compatible patterns (TextAnalysis.Pii*), same
-    // pinned replace order email → ip → phone; DuckDB regexp_replace needs
-    // the 'g' flag to match Spark's replace-all
+    // pinned replace order email → ip → phone, each class counted on the
+    // intermediate it redacts from (counts reconcile with tags); DuckDB
+    // regexp_replace needs the 'g' flag to match Spark's replace-all
     "q48_pii_scrub" -> {
       val em = graft.operators.TextAnalysis.PiiEmail
       val ip = graft.operators.TextAnalysis.PiiIp
       val ph = graft.operators.TextAnalysis.PiiPhone
-      s"""SELECT doc_id,
+      s"""WITH st AS (SELECT doc_id, text,
+   regexp_replace(text, '$em', '<EMAIL>', 'g') AS after_email FROM documents),
+ st2 AS (SELECT doc_id, text, after_email,
+   regexp_replace(after_email, '$ip', '<IP>', 'g') AS after_ip FROM st)
+SELECT doc_id,
  len(regexp_extract_all(text, '$em'))::BIGINT AS n_emails,
- len(regexp_extract_all(text, '$ip'))::BIGINT AS n_ips,
- len(regexp_extract_all(text, '$ph'))::BIGINT AS n_phones,
- regexp_replace(regexp_replace(regexp_replace(text, '$em', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$ph', '<PHONE>', 'g') AS redacted
-FROM documents ORDER BY doc_id"""
+ len(regexp_extract_all(after_email, '$ip'))::BIGINT AS n_ips,
+ len(regexp_extract_all(after_ip, '$ph'))::BIGINT AS n_phones,
+ regexp_replace(after_ip, '$ph', '<PHONE>', 'g') AS redacted
+FROM st2 ORDER BY doc_id"""
     },
 
     // eval-benchmark contamination: per eval doc (doc_id % 17 = 0), the

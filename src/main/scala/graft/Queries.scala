@@ -89,7 +89,12 @@ object Queries {
   def exactDedup(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), lower(col("text")).as("_lt"))
     val keepers = d.groupBy("_lt").agg(min(col("doc_id")).as("keeper"))
-    d.join(keepers, "_lt").select(col("doc_id"), col("keeper")).orderBy("doc_id")
+      .withColumnRenamed("_lt", "_kt")
+    // null-SAFE join: groupBy puts NULL texts in one group, and the window
+    // formulation (and the oracle's PARTITION BY) keeps those rows — a
+    // plain equi-join would silently drop them (review finding)
+    d.join(keepers, col("_lt") <=> col("_kt"))
+      .select(col("doc_id"), col("keeper")).orderBy("doc_id")
   }
 
   // ---- simhash path --------------------------------------------------------

@@ -50,6 +50,13 @@ object Sampling {
   def stratifiedTopK(df: DataFrame, idCol: String, stratumCol: String,
                      k: Int, seed: Long = 0L): DataFrame = {
     require(k > 0, "k must be positive")
+    // fail loudly instead of silently truncating: the join-back keys on
+    // the id cast to long, which is only faithful for integral ids
+    // (review finding — a fractional DoubleType id would alias rows)
+    require(Set("long", "integer", "short", "byte")
+        .contains(df.schema(idCol).dataType.typeName),
+      s"stratifiedTopK needs an integral id column, got " +
+        s"${df.schema(idCol).dataType.simpleString} for '$idCol'")
     val winners = df
       .select(col(stratumCol).as("_st"), sampleKey(col(idCol), seed).as("_sk"),
         col(idCol).cast("long").as("_sid"))
@@ -70,8 +77,14 @@ object Sampling {
     * [[stratifiedTopK]]'s straggler-proof bounded aggregate. */
   def balancedMix(df: DataFrame, idCol: String, stratumCol: String,
                   seed: Long = 0L): DataFrame = {
-    val minCnt = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("cnt"))
-      .agg(min(col("cnt"))).head().getLong(0)
+    val r = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("cnt"))
+      .agg(min(col("cnt"))).head()
+    if (r.isNullAt(0)) // empty input: empty output with the same shape
+      return df.withColumn("sample_rank", lit(0L)).limit(0)
+    val minCnt = r.getLong(0)
+    require(minCnt <= Int.MaxValue,
+      s"balancedMix: smallest stratum has $minCnt rows — beyond the Int-sized " +
+        "per-stratum k of the bounded aggregate; downsample strata first")
     stratifiedTopK(df, idCol, stratumCol, minCnt.toInt, seed)
   }
 

@@ -236,18 +236,20 @@ object TextAnalysis {
     * the text with every match replaced by its class tag. Pure codegen'd
     * column expressions — a map-side scan at any corpus size. Redaction
     * order is pinned (email → ip → phone) so overlapping matches resolve
-    * deterministically: an email's digits can no longer phone-match once
-    * the email is collapsed to `<EMAIL>`. */
-  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    * deterministically, and each class is COUNTED on the same intermediate
+    * it is redacted from — n_phones counts what actually became `<PHONE>`,
+    * not raw-text matches an earlier class already swallowed (an email
+    * local part of 11 digits is one email, zero phones). Counts therefore
+    * always reconcile with the tags in `redacted`. */
+  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val afterEmail = regexp_replace(col(textCol), PiiEmail, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, PiiIp, "<IP>")
     df.select(col(idCol).as("id"),
       size(regexp_extract_all(col(textCol), lit(PiiEmail), lit(0))).cast("long").as("n_emails"),
-      size(regexp_extract_all(col(textCol), lit(PiiIp), lit(0))).cast("long").as("n_ips"),
-      size(regexp_extract_all(col(textCol), lit(PiiPhone), lit(0))).cast("long").as("n_phones"),
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(col(textCol), PiiEmail, "<EMAIL>"),
-          PiiIp, "<IP>"),
-        PiiPhone, "<PHONE>").as("redacted"))
+      size(regexp_extract_all(afterEmail, lit(PiiIp), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(afterIp, lit(PiiPhone), lit(0))).cast("long").as("n_phones"),
+      regexp_replace(afterIp, PiiPhone, "<PHONE>").as("redacted"))
+  }
 
   // ---- intra-document repetition (Gopher-style quality signal) ----------
 

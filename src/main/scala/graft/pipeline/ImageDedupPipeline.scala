@@ -173,7 +173,20 @@ object ImageDedupPipeline {
 
   private def runImpl(spark: SparkSession, input: DataFrame, ckpt: StageStore): DataFrame = {
 
+    val s1Fresh = !ckpt.isDone("s1_annotated")
     val annotated = ckpt.stage("s1_annotated")(annotate(input))
+    // A clustering run KNOWS which corpus its snapshots derive from —
+    // record the fingerprint IncrementalImageDedup enforces, so a later
+    // import reusing this store's s1/s2 snapshots runs verified (only
+    // when this run staged s1 itself, into a durable store)
+    if (s1Fresh && ckpt.isDone("s1_annotated") &&
+        !ckpt.isDone("inc_corpus_fprint")) {
+      val r = input.agg(count(lit(1)),
+        bit_xor(xxhash64(col("image_id")))).head()
+      val x = if (r.isNullAt(1)) 0L else r.getLong(1)
+      import spark.implicits._
+      ckpt.stage("inc_corpus_fprint")(Seq((r.getLong(0), x)).toDF("cnt", "xh"))
+    }
     val starEdges = ckpt.stage("s1_star_edges") {
       annotated.where(col("image_id") =!= col("rep"))
         .select(col("rep").as("a"), col("image_id").as("b"))

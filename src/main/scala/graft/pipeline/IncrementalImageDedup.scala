@@ -98,9 +98,14 @@ object IncrementalImageDedup {
     *                       of the delta is keyed per import so successive
     *                       daily deltas against one durable store never
     *                       collide (CC's cc_edges_<i> included)
+    * @param fingerprintCheck verify the passed corpus against the staged
+    *                       fingerprint (one linear id-column scan); turn
+    *                       off only when snapshot identity is enforced
+    *                       externally (e.g. Iceberg snapshot pinning)
     * @return (image_id, cluster_id) for every corpus AND delta row */
   def run(spark: SparkSession, corpus: DataFrame, corpusClusters: DataFrame,
-          delta: DataFrame, ckpt: StageStore, importId: String = "i0"): DataFrame = {
+          delta: DataFrame, ckpt: StageStore, importId: String = "i0",
+          fingerprintCheck: Boolean = true): DataFrame = {
 
     // per-import namespace for every delta-dependent stage
     val imp = new StageStore {
@@ -114,11 +119,30 @@ object IncrementalImageDedup {
     // would silently miss (or duplicate) rows. The fingerprint staged with
     // the artifacts must match the corpus passed in — after appending an
     // accepted delta to the corpus table, call absorb() (which extends
-    // artifacts AND fingerprint) before the next import. ----
+    // artifacts AND fingerprint) before the next import.
+    //
+    // The verification is one linear scan of the corpus id column per
+    // import — metadata-cheap next to the import itself, but a real
+    // O(|corpus|) term a caller may drop (fingerprintCheck = false) when
+    // snapshot identity is already enforced outside, e.g. an Iceberg
+    // snapshot id pinning exactly which corpus version the artifacts were
+    // derived from. Stores whose artifacts predate the fingerprint (or
+    // whose staging crashed before the fingerprint landed) stay
+    // UNVERIFIED rather than falsely certified: the fingerprint is only
+    // ever recorded by the run that staged every corpus artifact itself
+    // (see below). ----
     val gen = latestGen(ckpt)
     def cn(base: String): String = corpusName(base, gen)
     val fpName = cn("inc_corpus_fprint")
-    if (ckpt.isDone(fpName)) {
+    // probed BEFORE any staging: "did any corpus artifact exist already?"
+    // — only a run that builds ALL of them from the passed corpus may
+    // stamp that corpus's fingerprint
+    val freshCorpusStaging = !Seq(
+      "s1_annotated", "s2_shingles",
+      cn("inc_corpus_annotated"), cn("inc_corpus_shingles"),
+      cn("inc_corpus_bands"), cn("inc_corpus_grams"),
+      cn("inc_corpus_phchunks")).exists(ckpt.isDone)
+    if (fingerprintCheck && ckpt.isDone(fpName)) {
       val st = ckpt.stage(fpName)(sys.error("unreachable: completed stage")).head()
       val (c, x) = fingerprint(corpus)
       require(st.getLong(0) == c && st.getLong(1) == x,
@@ -167,10 +191,13 @@ object IncrementalImageDedup {
     val chunkC = ckpt.stage(cn("inc_corpus_phchunks"))(
       ImageDedupPipeline.phashChunks(repsC, col("caption")))
 
-    // first durable staging of this generation's artifacts → record the
-    // corpus fingerprint they were built from (bands are staged through
-    // ckpt unconditionally, so their isDone marks a durable store)
-    if (ckpt.isDone(cn("inc_corpus_bands")) && !ckpt.isDone(fpName)) {
+    // Record the fingerprint ONLY when this very run staged every corpus
+    // artifact (freshCorpusStaging) into a durable store (bands isDone
+    // after staging) — a store holding artifacts of unknown provenance
+    // (pre-fingerprint format, or a crash between artifact and fingerprint
+    // commits) must stay unverified forever rather than be certified
+    // against whatever corpus happens to be passed next (review finding).
+    if (freshCorpusStaging && ckpt.isDone(cn("inc_corpus_bands")) && !ckpt.isDone(fpName)) {
       val (c, x) = fingerprint(corpus)
       import spark.implicits._
       ckpt.stage(fpName)(Seq((c, x)).toDF("cnt", "xh"))

@@ -239,7 +239,8 @@ class AnnAndTextSpec extends AnyFlatSpec with Matchers with SparkTestBase {
       (1L, "contact bob.smith+spam@example.co.uk or 10.0.0.1 now"),
       (2L, "call +1 555 123-4567 today"),
       (3L, "nothing here"),
-      (4L, "two mails a@b.io c@d.org and date 2020-01-01 03:04")
+      (4L, "two mails a@b.io c@d.org and date 2020-01-01 03:04"),
+      (5L, "mail 12345678901@example.com only") // digit local part: 1 email, 0 phones
     ).toDF("doc_id", "text")
     val out = TextAnalysis.piiScrub(d, "doc_id", "text")
       .collect().map(r => r.getLong(0) ->
@@ -252,6 +253,9 @@ class AnnAndTextSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     // run extends through the space into "03" ("2020-01-01 03"), stopping
     // at the colon — identical leftmost-first greedy semantics in RE2.
     out(4L) shouldBe ((2L, 0L, 1L, "two mails <EMAIL> <EMAIL> and date <PHONE>:04"))
+    // counts reconcile with tags: the 11-digit local part is ONE email and
+    // ZERO phones (phones are counted after the email redaction)
+    out(5L) shouldBe ((1L, 0L, 0L, "mail <EMAIL> only"))
   }
 
   "repetition" should "score the duplicate-gram share of templated text" in {

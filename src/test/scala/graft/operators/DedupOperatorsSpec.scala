@@ -48,7 +48,8 @@ class DedupOperatorsSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     val dir = java.nio.file.Files.createTempDirectory("graft_exdup").toString
     spark.range(0L, 3000L)
       .select(col("id").as("doc_id"),
-        when(col("id") % 3L === 0L, lit("Viral Caption Here"))
+        when(col("id") % 997L === 0L, lit(null).cast("string")) // NULLs must survive
+          .when(col("id") % 3L === 0L, lit("Viral Caption Here"))
           .otherwise(concat(lit("doc "), (col("id") % 700L).cast("string"))).as("text"))
       .write.parquet(s"$dir/documents.parquet")
     val fast = graft.Queries.exactDedup(spark, dir)
@@ -58,7 +59,9 @@ class DedupOperatorsSpec extends AnyFlatSpec with Matchers with SparkTestBase {
         org.apache.spark.sql.expressions.Window.partitionBy(lower(col("text")))).as("keeper"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     fast shouldBe ref
-    fast(2703L) shouldBe 0L // viral caption collapses to doc 0
+    fast.size shouldBe 3000 // no row dropped — incl. the NULL-text ones
+    fast(2703L) shouldBe 3L // viral caption collapses to its min id (0 is NULL now)
+    fast(997L) shouldBe 0L  // NULL texts form one class, keeper = min id
     fast(5L) shouldBe 5L    // "doc 5" first appears at id 5
   }
 
