@@ -60,7 +60,21 @@ object GraftExtensions {
       info("graft_hyperplane_bucket",
         s"${graft.config.GoldenConfig.AnnHyperplanes}-plane LSH bucket of an array<float> embedding"),
       (args: Seq[Expression]) => HyperplaneBucketExpr(
-        one(args, "graft_hyperplane_bucket"), graft.config.GoldenConfig.AnnHyperplanes)))
+        one(args, "graft_hyperplane_bucket"), graft.config.GoldenConfig.AnnHyperplanes)),
+    ("graft_bounded_topk",
+      info("graft_bounded_topk",
+        "aggregate: the k smallest (key, id) long pairs per group, ascending — " +
+          "k-capped partial state (straggler-proof grouped top-k); " +
+          "usage: graft_bounded_topk(key, id, k) with literal k"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_bounded_topk expects (key, id, k)")
+        val k = args(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_bounded_topk: k must be an integer literal, got $other")
+        }
+        BoundedTopKAgg(args(0), args(1), k)
+      }))
 
   /** Register the functions into an already-running session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -33,6 +33,20 @@ class GraftExtensionsSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     r.getSeq[Long](1) should have length 2 // 9 tokens, l=8 → 2 windows
   }
 
+  it should "expose the bounded top-k aggregate in SQL" in {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq((1L, 30L, 300L), (1L, 10L, 100L), (1L, 20L, 200L), (2L, 5L, 50L))
+      .toDF("g", "key", "id").createOrReplaceTempView("btk_in")
+    val rows = spark.sql(
+      "SELECT g, graft_bounded_topk(key, id, 2) AS top FROM btk_in GROUP BY g ORDER BY g")
+      .collect()
+    rows(0).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getLong(0), r.getLong(1))) shouldBe Seq((10L, 100L), (20L, 200L))
+    rows(1).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getLong(0), r.getLong(1))) shouldBe Seq((5L, 50L))
+  }
+
   "the extensions class" should "inject the same functions via SparkSessionExtensions" in {
     // the injection path is exercised directly against an extensions object
     // (a second SparkSession in one JVM would just return the shared one)
@@ -42,7 +56,7 @@ class GraftExtensionsSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     GraftExtensions.functions.map(_._1).toSet shouldBe Set(
       "graft_str_hash", "graft_minhash", "graft_minhash_shingles",
       "graft_shingle_hashes", "graft_gram_hashes",
-      "graft_dot_f", "graft_hyperplane_bucket")
+      "graft_dot_f", "graft_hyperplane_bucket", "graft_bounded_topk")
   }
 
   it should "expose the ANN kernels in SQL" in {
