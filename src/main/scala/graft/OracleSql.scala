@@ -742,6 +742,21 @@ SELECT sc.doc_id, sc.cluster_id, kp.keeper FROM sc JOIN kp USING (cluster_id) OR
     FROM p JOIN embeddings ea ON ea.vec_id = p.a JOIN embeddings eb ON eb.vec_id = p.b))
 SELECT a AS vec_a, b AS vec_b FROM s WHERE cos >= 0.4 ORDER BY vec_a, vec_b""",
 
+    // sessionization: per-user event sequences split at >30-min gaps;
+    // epoch seconds via integer floor division (mirrors Spark's
+    // timestamp→long cast exactly; DuckDB's epoch() is a double)
+    "q54_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) // 1000000 AS tsec FROM events),
+ l AS (SELECT user_id, event_id, tsec,
+   lag(tsec) OVER (PARTITION BY user_id ORDER BY tsec, event_id) AS prev FROM e),
+ s AS (SELECT user_id, event_id, tsec,
+   CASE WHEN prev IS NULL OR tsec - prev > 1800 THEN 1 ELSE 0 END AS ns FROM l),
+ c AS (SELECT user_id, tsec,
+   sum(ns) OVER (PARTITION BY user_id ORDER BY tsec, event_id ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq FROM s)
+SELECT user_id, session_seq, count(*)::BIGINT AS n_events,
+ min(tsec)::BIGINT AS start_s, max(tsec)::BIGINT AS end_s
+FROM c GROUP BY user_id, session_seq ORDER BY user_id, session_seq""",
+
     // balanced source mixture: every source downsampled to the smallest
     // source's size, ranked by the pinned LCG sampling key (seed 0)
     "q53_balanced_mix" ->

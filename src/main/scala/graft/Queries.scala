@@ -521,6 +521,32 @@ object Queries {
       .agg(count(lit(1)).as("n_blocks"))
       .orderBy("block_size")
 
+  /** Sessionization over the events stream (the classic ordered-sequence
+    * windowed op): a user's events, ordered by (ts, event_id), split into
+    * sessions wherever the gap from the previous event exceeds 30 minutes;
+    * one row per session with its size and bounds (epoch seconds).
+    * Per-user ordering is inherently one window task per user — the same
+    * bounded-sequence caveat as A39 versioning (a single user's event
+    * count is bounded in practice; it does not grow with corpus size). */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+    tbl(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        // ts is TIMESTAMP_NTZ: route through timestamp under the pinned
+        // UTC session tz, then epoch seconds (floor) — matches the
+        // oracle's epoch_us // 1e6 over DuckDB's naive timestamp
+        col("ts").cast("timestamp").cast("long").as("tsec"))
+      .withColumn("prev", lag(col("tsec"), 1).over(w))
+      .withColumn("ns",
+        when(col("prev").isNull || col("tsec") - col("prev") > 1800L, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("ns")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("tsec")).as("start_s"), max(col("tsec")).as("end_s"))
+      .orderBy("user_id", "session_seq")
+  }
+
   /** Entity version summary over the events stream (A39 versioning):
     * first/last/current values per user in (ts, event_id) order. */
   def versionHistory(s: SparkSession, dir: String): DataFrame = {

@@ -63,7 +63,8 @@ object SparkEntry {
     "q50_repetition" -> (Queries.repetitionScore(_, _)),
     "q51_keep_best" -> (Queries.keepBest(_, _)),
     "q52_embedding_cross_near_dup" -> (Queries.embeddingCrossNearDup(_, _)),
-    "q53_balanced_mix" -> (Queries.balancedMix(_, _))
+    "q53_balanced_mix" -> (Queries.balancedMix(_, _)),
+    "q54_sessionize" -> (Queries.sessionize(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
