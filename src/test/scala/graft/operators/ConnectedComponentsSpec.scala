@@ -70,6 +70,14 @@ class ConnectedComponentsSpec extends AnyFlatSpec with Matchers with SparkTestBa
     out shouldBe Map("img_a" -> "img_a", "img_b" -> "img_a", "img_c" -> "img_a")
   }
 
+  it should "fail loudly instead of emitting non-fixpoint clusters when maxIter is too low" in {
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("a", "b")
+    val ex = intercept[IllegalArgumentException] {
+      ConnectedComponents.run(spark, chain, maxIter = 1)
+    }
+    ex.getMessage should include("did not converge")
+  }
+
   it should "be idempotent on star output (resume safety)" in {
     val first = run(Seq((1L, 2L), (2L, 3L)))
     val starEdges = first.toSeq.filter { case (id, c) => id != c }
