@@ -126,6 +126,24 @@ class IncrementalImageDedupSpec extends AnyFlatSpec with Matchers with SparkTest
     s2.isDone("inc_corpus_annotated_g1") shouldBe true
   }
 
+  it should "equal a full re-run for RANDOM corpus/delta splits (property)" in {
+    // the planted %20 splits always put exact-dup classes wholly on one
+    // side; random splits exercise classes straddling the boundary,
+    // captions whose class rep lands in the delta, singleton deltas, etc.
+    val small = SyntheticImages.generate(spark, 800L).toDF().localCheckpoint()
+    (1 to 2).foreach { trial =>
+      val inDelta = pmod(xxhash64(col("image_id"), lit(trial)), lit(5L)) === 0L // ~20%
+      val corpusT = small.where(!inDelta).localCheckpoint()
+      val deltaT = small.where(inDelta).localCheckpoint()
+      val c0 = ImageDedupPipeline.runDirect(spark, corpusT)
+      val inc = IncrementalImageDedup.runDirect(spark, corpusT, c0, deltaT)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val full = ImageDedupPipeline.runDirect(spark, small)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      withClue(s"trial $trial") { inc shouldBe full }
+    }
+  }
+
   it should "chain absorbs across multiple generations (three-day ingest loop)" in {
     val dir = java.nio.file.Files.createTempDirectory("inc_chain").toString
     val d1 = all.where(idNum % 20 === 18).localCheckpoint()
