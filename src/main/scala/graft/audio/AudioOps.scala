@@ -104,18 +104,10 @@ object AudioOps {
   }
 
   /** 64-bit clip fingerprint: bit b is set iff the majority of the clip's
-    * window hashes have bit b set (ties → 0). Pure column expressions over
-    * the feature table (explode 64 bit positions → sum signs → fold), the
-    * same shape as [[graft.operators.SimHashNearDup.simhashTable]] — and
-    * the output (id, simhash) feeds its `nearDupPairs` Hamming path
-    * directly. */
+    * window hashes have bit b set (ties → 0) — delegates to the shared
+    * [[graft.operators.SimHashNearDup.majorityFingerprint]]; the output
+    * (id, simhash) feeds its `nearDupPairs` Hamming path directly. */
   def fingerprints(features: DataFrame): DataFrame =
-    features.select(col("audio_id").as("id"), col("window_hash"),
-        explode(sequence(lit(0L), lit(63L))).as("bit"))
-      .withColumn("contrib",
-        expr("(shiftright(window_hash, cast(bit AS int)) & CAST(1 AS bigint)) * 2 - 1"))
-      .groupBy("id", "bit").agg(sum(col("contrib")).as("s"))
-      .groupBy("id")
-      .agg(sum(expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS bigint), cast(bit AS int)) ELSE CAST(0 AS bigint) END"))
-        .as("simhash"))
+    graft.operators.SimHashNearDup.majorityFingerprint(
+      features, "audio_id", "window_hash")
 }

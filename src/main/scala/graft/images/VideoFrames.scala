@@ -54,4 +54,19 @@ object VideoFrames {
       .select(col("video_id"), col("f._1").as("offset_ms"),
         col("f._2").as("frame_png"))
   }
+
+  /** Per-video 64-bit temporal fingerprint: majority vote over the sampled
+    * frames' phashes (the video sibling of
+    * [[graft.audio.AudioOps.fingerprints]]): frames decode through the
+    * IMAGE path ([[ImageOps.featureTable]] — real PNG decode + phash), so
+    * with a real codec behind [[decodeFrameStub]] this is a production
+    * video near-dup signature; with the stub, identical videos share all
+    * frames and land at Hamming 0 (the stub seeds frames from the WHOLE
+    * clip's bytes, so an edited clip diverges everywhere — unlike the
+    * audio stub's per-slice decode; property documented in the spec).
+    * Output (id, simhash) feeds
+    * [[graft.operators.SimHashNearDup.nearDupPairs]](bits = 64). */
+  def fingerprints(frames: DataFrame): DataFrame =
+    graft.operators.SimHashNearDup.majorityFingerprint(
+      ImageOps.featureTable(frames, "video_id", "frame_png"), "id", "phash")
 }

@@ -40,6 +40,24 @@ object SimHashNearDup {
         .as("simhash"))
   }
 
+  /** Per-item majority-vote fingerprint over hash rows: bit b of the
+    * output is set iff the majority of the item's hashes have bit b set
+    * (ties → 0) — the Chromaprint-style clip/sequence signature shared by
+    * the audio path (window hashes, [[graft.audio.AudioOps.fingerprints]])
+    * and the video path (frame phashes,
+    * [[graft.images.VideoFrames.fingerprints]]). Output (id, simhash)
+    * feeds [[nearDupPairs]] unchanged. */
+  def majorityFingerprint(df: DataFrame, idCol: String, hashCol: String,
+                          bits: Int = 64): DataFrame =
+    df.select(col(idCol).as("id"), col(hashCol).as("mh"),
+        explode(sequence(lit(0L), lit(bits - 1L))).as("bit"))
+      .withColumn("contrib",
+        expr("(shiftright(mh, cast(bit AS int)) & CAST(1 AS bigint)) * 2 - 1"))
+      .groupBy("id", "bit").agg(sum(col("contrib")).as("s"))
+      .groupBy("id")
+      .agg(sum(expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS bigint), cast(bit AS int)) ELSE CAST(0 AS bigint) END"))
+        .as("simhash"))
+
   /** Hamming-bucket rows: (id, chunk_idx, chunk_val) — chunkBits-wide slices. */
   def buckets(sim: DataFrame, simCol: String = "simhash",
               bits: Int = SimHashBits, chunks: Int = HammingChunks): DataFrame = {

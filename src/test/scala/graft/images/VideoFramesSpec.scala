@@ -53,4 +53,23 @@ class VideoFramesSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     feats("a#600") shouldBe feats("b#600")
     feats("a#200") should not be feats("c#200")
   }
+
+  "fingerprints" should "pair identical clips through the Hamming near-dup path" in {
+    val vids = Seq(
+      ("a", Array[Byte](5, 5, 5), 800L),   // a and b: byte-identical clips
+      ("b", Array[Byte](5, 5, 5), 800L),
+      ("c", Array[Byte](7, 7, 7), 800L)    // different content
+    ).toDF("video_id", "bytes", "duration_ms")
+    val fp = VideoFrames.fingerprints(
+        VideoFrames.sampleFrames(vids, "video_id", "bytes", "duration_ms", 4))
+      .localCheckpoint()
+    val byId = fp.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    byId("a") shouldBe byId("b")
+    byId("a") should not be byId("c")
+    // and the fingerprints feed the 64-bit Hamming dedup path unchanged
+    val pairs = graft.operators.SimHashNearDup.nearDupPairs(fp, bits = 64)
+      .select("a", "b").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    pairs should contain(("a", "b"))
+    pairs.flatMap(p => Set(p._1, p._2)) should not contain "c"
+  }
 }
