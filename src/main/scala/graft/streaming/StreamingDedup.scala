@@ -141,4 +141,23 @@ object StreamingDedup {
       .where(col("id") =!= col("corpus_id"))
       .select(col("id"), col("corpus_id"), col("bucket"))
   }
+
+  /** Watermark-bounded TUMBLING-WINDOW ingest metrics — the windowed-agg
+    * face of the streaming surface next to the stateful dedup operators:
+    * per event-time window, arriving rows and (HLL-approximate) distinct
+    * ids. The watermark both bounds the aggregation state and, in Append
+    * mode, finalizes windows — exactly the monitoring feed a production
+    * ingest job emits alongside the dedup stream. `approx_count_distinct`
+    * because exact distinct is unbounded state in streaming (and the
+    * metric is a gauge, not a correctness output). */
+  def windowedIngestStats(stream: DataFrame, tsCol: String, idCol: String,
+                          windowDur: String = "1 minute",
+                          watermark: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(count(lit(1)).as("n_rows"),
+        approx_count_distinct(col(idCol)).as("n_ids_approx"))
+      .select(col("window.start").as("window_start"),
+        col("n_rows"), col("n_ids_approx"))
 }

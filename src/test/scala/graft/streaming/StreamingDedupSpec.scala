@@ -136,6 +136,28 @@ class StreamingDedupSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     } finally q.stop()
   }
 
+  "windowedIngestStats" should "aggregate per tumbling window with duplicate-aware distinct counts" in {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamingDedup.windowedIngestStats(
+      mem.toDF().toDF("doc_id", "ts", "text"), "ts", "doc_id")
+    val q = out.writeStream.format("memory").queryName("wis_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(
+        (1L, Timestamp.valueOf("2024-01-01 10:00:05"), "a"),
+        (1L, Timestamp.valueOf("2024-01-01 10:00:20"), "a dup id"),
+        (2L, Timestamp.valueOf("2024-01-01 10:00:40"), "b"),
+        (3L, Timestamp.valueOf("2024-01-01 10:01:10"), "c"))
+      q.processAllAvailable()
+      val rows = spark.table("wis_out")
+        .groupBy("window_start").agg(max("n_rows").as("n"), max("n_ids_approx").as("d"))
+        .collect().map(r => r.getTimestamp(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+      rows("2024-01-01 10:00:00.0") shouldBe ((3L, 2L)) // 3 rows, 2 distinct ids
+      rows("2024-01-01 10:01:00.0") shouldBe ((1L, 1L))
+    } finally q.stop()
+  }
+
   it should "see absorbed deltas through the generation-aware corpus view" in {
     implicit val sqlCtx = spark.sqlContext
     // batch side: import a delta whose caption the corpus has NEVER seen,
