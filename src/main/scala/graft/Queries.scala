@@ -529,7 +529,10 @@ object Queries {
     * bounded-sequence caveat as A39 versioning (a single user's event
     * count is bounded in practice; it does not grow with corpus size). */
   def sessionize(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+    // NULLS LAST pinned explicitly: Spark windows default to NULLS FIRST,
+    // DuckDB to NULLS LAST — latent oracle divergence if ts were ever NULL
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("tsec").asc_nulls_last, col("event_id").asc_nulls_last)
     tbl(s, dir, "events")
       .select(col("user_id"), col("event_id"),
         // ts is TIMESTAMP_NTZ: route through timestamp under the pinned

@@ -158,7 +158,7 @@ class StreamingDedupSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     } finally q.stop()
   }
 
-  it should "see absorbed deltas through the generation-aware corpus view" in {
+  "the corpus-band view" should "show absorbed deltas to the stream (generation-aware)" in {
     implicit val sqlCtx = spark.sqlContext
     // batch side: import a delta whose caption the corpus has NEVER seen,
     // then absorb it — only after the absorb may a stream of that caption
