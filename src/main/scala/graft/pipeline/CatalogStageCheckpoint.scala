@@ -10,6 +10,11 @@ trait StageStore {
   /** Whether `stage(name)` would serve a completed snapshot without forcing
     * its compute. Default false — ephemeral stores recompute always. */
   def isDone(name: String): Boolean = false
+  /** Delete a committed stage's snapshot (storage hygiene — e.g. pruning
+    * superseded corpus generations). Durable stores implement it; the
+    * default fails loudly rather than silently pretending to free space. */
+  def dropStage(name: String): Unit =
+    throw new UnsupportedOperationException(s"this store cannot drop stage '$name'")
 }
 
 /** Catalog-table stage checkpointing through the DataFrameWriterV2 path —
@@ -46,6 +51,14 @@ class CatalogStageCheckpoint(spark: SparkSession, namespace: String,
   private val manifestTbl = tbl("_manifest")
 
   override def isDone(name: String): Boolean = spark.catalog.tableExists(tbl(name))
+
+  /** Drops the stage table and its metrics table; the manifest keeps the
+    * historical commit row (isDone turns false with the table gone, so a
+    * later re-stage recomputes and appends a fresh commit row). */
+  override def dropStage(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl(name)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl(s"${name}__metrics")}")
+  }
 
   override def stage(name: String)(compute: => DataFrame): DataFrame = {
     if (isDone(name)) {

@@ -42,10 +42,16 @@ object IncrementalImageDedup {
   private def corpusName(base: String, gen: Int): String =
     if (gen == 0) base else s"${base}_g$gen"
 
-  /** Latest absorbed corpus generation present in the store (0 = none). */
+  /** Latest absorbed corpus generation present in the store (0 = none).
+    * Each absorb commits a one-row `inc_corpus_gen_g<N>` marker LAST — the
+    * durable generation anchor that [[pruneGenerations]] never drops (the
+    * probe would otherwise break once a pruned middle generation left a
+    * hole); the annotated-table fallback keeps stores absorbed before the
+    * markers existed resolving correctly. */
   def latestGen(ckpt: StageStore): Int = {
     var g = 0
-    while (ckpt.isDone(corpusName("inc_corpus_annotated", g + 1))) g += 1
+    while (ckpt.isDone(corpusName("inc_corpus_gen", g + 1)) ||
+        ckpt.isDone(corpusName("inc_corpus_annotated", g + 1))) g += 1
     g
   }
 
@@ -78,6 +84,33 @@ object IncrementalImageDedup {
     val name = corpusName("inc_corpus_bands", latestGen(ckpt))
     ckpt.stage(name)(sys.error(
       s"no corpus band snapshot '$name' in this store — run an import first"))
+  }
+
+  /** Drop superseded corpus-artifact generations (everything below
+    * [[latestGen]]) — the storage-hygiene step of the daily ingest loop:
+    * without it every absorb() leaves the previous generation's full
+    * artifact set behind and the store grows linearly in days. Touches
+    * ONLY `inc_corpus_*` names — never the full pipeline's own s1/s2
+    * snapshots (other pipeline stages resume from those) and never any
+    * import's namespaced stages. Safe any time after the absorb that
+    * created the latest generation; re-runnable.
+    * @return the dropped stage names */
+  def pruneGenerations(ckpt: StageStore): Seq[String] = {
+    val latest = latestGen(ckpt)
+    // the probe chain must rest on markers once annotated tables start
+    // disappearing — refuse to prune a store whose absorbs predate them
+    require((1 to latest).forall(g => ckpt.isDone(corpusName("inc_corpus_gen", g))),
+      "pruneGenerations requires the per-generation marker stages " +
+        "(inc_corpus_gen_g<N>); this store's absorbs predate them — " +
+        "re-absorb the next delta first or leave the store unpruned")
+    val bases = Seq("inc_corpus_annotated", "inc_corpus_shingles",
+      "inc_corpus_bands", "inc_corpus_grams", "inc_corpus_phchunks",
+      "inc_corpus_fprint")
+    (0 until latest).flatMap { g =>
+      bases.map(corpusName(_, g)).filter(ckpt.isDone).map { n =>
+        ckpt.dropStage(n); n
+      }
+    }
   }
 
   /** Bench/test run without durable snapshots: multiply-consumed stages are
@@ -372,10 +405,15 @@ object IncrementalImageDedup {
       ckpt.stage(corpusName("inc_corpus_fprint", next))(
         Seq((prev.getLong(0) + dc, prev.getLong(1) ^ dx)).toDF("cnt", "xh"))
     }
-    // annotated LAST: latestGen() probes it, so committing it only after
-    // every sibling artifact makes the generation bump atomic-at-the-probe
-    // (a crash mid-absorb leaves gen unchanged and absorb is re-runnable)
     ckpt.stage(corpusName("inc_corpus_annotated", next))(annC.unionByName(annD))
+    // the one-row generation marker commits LAST: latestGen() probes it,
+    // so the generation bump is atomic-at-the-probe (a crash mid-absorb
+    // leaves gen unchanged and absorb is re-runnable), and pruning old
+    // generations keeps the markers so the probe chain never has holes
+    locally {
+      import spark.implicits._
+      ckpt.stage(corpusName("inc_corpus_gen", next))(Seq(next).toDF("gen"))
+    }
     next
   }
 }

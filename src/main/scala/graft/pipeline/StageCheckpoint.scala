@@ -73,4 +73,17 @@ class StageCheckpoint(spark: SparkSession, baseDir: String) extends StageStore {
 
   def manifest(): Seq[String] =
     if (Files.exists(manifestPath)) Files.readAllLines(manifestPath).asScala.toSeq else Nil
+
+  /** Deletes the stage's snapshot dir and metrics; the manifest keeps the
+    * historical commit line (isDone turns false with _SUCCESS gone, so a
+    * later re-stage recomputes and appends a fresh line). */
+  override def dropStage(name: String): Unit = {
+    def rm(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+    rm(Paths.get(baseDir, name))
+    rm(Paths.get(baseDir, "_metrics", name))
+    done -= name
+  }
 }

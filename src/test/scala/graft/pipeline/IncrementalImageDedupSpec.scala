@@ -144,6 +144,34 @@ class IncrementalImageDedupSpec extends AnyFlatSpec with Matchers with SparkTest
     }
   }
 
+  it should "prune superseded generations without breaking the current view" in {
+    val dir = java.nio.file.Files.createTempDirectory("inc_prune").toString
+    val d1 = all.where(idNum % 20 === 18).localCheckpoint()
+    val d2 = all.where(idNum % 20 === 19).localCheckpoint()
+    val c0 = ImageDedupPipeline.runDirect(spark, corpus).localCheckpoint()
+    val st = new StageCheckpoint(spark, dir)
+    val out1 = IncrementalImageDedup.run(spark, corpus, c0, d1, st, "p1").localCheckpoint()
+    out1.count()
+    IncrementalImageDedup.absorb(spark, st, "p1") shouldBe 1
+
+    val st2 = new StageCheckpoint(spark, dir)
+    val dropped = IncrementalImageDedup.pruneGenerations(st2)
+    dropped should contain("inc_corpus_bands") // generation-0 artifacts freed
+    // the generation resolution and the current corpus view both survive
+    val st3 = new StageCheckpoint(spark, dir)
+    IncrementalImageDedup.latestGen(st3) shouldBe 1
+    st3.isDone("inc_corpus_bands") shouldBe false
+    st3.isDone("inc_corpus_bands_g1") shouldBe true
+    IncrementalImageDedup.corpusBands(st3).count() should be > 0L
+    // and the NEXT import runs correctly against the pruned store
+    val corpus2 = corpus.unionByName(d1).localCheckpoint()
+    val out2 = IncrementalImageDedup.run(spark, corpus2, out1, d2, st3, "p2")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val full = ImageDedupPipeline.runDirect(spark, corpus2.unionByName(d2))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    out2 shouldBe full
+  }
+
   it should "chain absorbs across multiple generations (three-day ingest loop)" in {
     val dir = java.nio.file.Files.createTempDirectory("inc_chain").toString
     val d1 = all.where(idNum % 20 === 18).localCheckpoint()
