@@ -132,16 +132,31 @@ object IncrementalBench {
     // (d2 = id%20==19) against the GROWN corpus and absorbed artifacts.
     // Measures what a production loop pays per day: the absorb itself
     // (delta-sized) and the next import (corpus restage avoided).
+    //
+    // GRAFT_BENCH_ABSORB_FIXED=<k> caps each day's delta at k rows (the
+    // first k 20-id blocks' planted rows) INDEPENDENT of n — the absorb
+    // corpus-size-invariance measurement: run n=500k and n=1M with the
+    // same k and absorb_sec must not grow with the corpus (absorb stages
+    // only delta artifacts; the prior copy-on-write absorb rewrote the
+    // full corpus tables and scaled linearly in n). Rows beyond the cap in
+    // day strata are simply excluded; recall is skipped in fixed mode (the
+    // planted truth covers the excluded rows).
     val absorbJson = if (sys.env.get("GRAFT_BENCH_ABSORB").contains("1") && deltaPct == 10) {
+      val fixedK = sys.env.get("GRAFT_BENCH_ABSORB_FIXED").map(_.toLong)
       val dir2 = s"/tmp/graft_inc_bench_absorb_$n"
       deleteRecursively(new java.io.File(dir2))
       val out1Path = s"$dir2/out1_clusters"
       val idNum = expr("cast(substring(image_id, 5) as bigint)")
+      def day(d: Long) = fixedK match {
+        case Some(k) => (idNum % 20 === d) &&
+          (expr("cast(substring(image_id, 5) as bigint) div 20") < k)
+        case None    => idNum % 20 === d
+      }
       val day1Sec = phase("seq-imp1") { s =>
         val all = s.read.parquet(inputPath)
         val t0 = System.nanoTime()
         IncrementalImageDedup.run(s, all.where(idNum % 20 < 18),
-            s.read.parquet(clustersPath), all.where(idNum % 20 === 18),
+            s.read.parquet(clustersPath), all.where(day(18)),
             new StageCheckpoint(s, dir2), "sd1")
           .write.mode("overwrite").parquet(out1Path)
         (System.nanoTime() - t0) / 1e9
@@ -154,16 +169,19 @@ object IncrementalBench {
       val (day2Sec, recall2) = phase("seq-imp2") { s =>
         val all = s.read.parquet(inputPath)
         val t0 = System.nanoTime()
-        val out2 = IncrementalImageDedup.run(s, all.where(idNum % 20 < 19),
-            s.read.parquet(out1Path), all.where(idNum % 20 === 19),
+        val out2 = IncrementalImageDedup.run(s,
+            all.where(idNum % 20 < 18 || day(18)),
+            s.read.parquet(out1Path), all.where(day(19)),
             new StageCheckpoint(s, dir2), "sd2")
           .localCheckpoint()
         out2.count()
         val wall = (System.nanoTime() - t0) / 1e9
-        val (r, _, _) = Main.pairRecall(out2, SyntheticImages.truth(s, n).toDF())
+        val r = if (fixedK.isDefined) -1.0
+          else Main.pairRecall(out2, SyntheticImages.truth(s, n).toDF())._1
         (wall, r)
       }
-      s""","absorb_loop":{"day1_sec":$day1Sec,"absorb_sec":$absorbSec,"day2_sec":$day2Sec,"recall_day2":$recall2}"""
+      val fixedJson = fixedK.map(k => s""","fixed_delta_rows":$k""").getOrElse("")
+      s""","absorb_loop":{"day1_sec":$day1Sec,"absorb_sec":$absorbSec,"day2_sec":$day2Sec,"recall_day2":$recall2$fixedJson}"""
     } else ""
 
     println(s"""{"bench":"incremental","n":$n,"delta_pct":$deltaPct,"delta_rows":$deltaRows,"cores":$cores,"full_sec":$fullSec,"inc_cold_sec":$coldSec,"inc_warm_sec":$warmSec,"speedup_cold":${fullSec / coldSec},"speedup_warm":${fullSec / warmSec},"recall_cold":$recallCold,"recall_warm":$recallWarm$scalingJson$absorbJson}""")

@@ -38,21 +38,80 @@ import graft.operators.{MinHashLsh, SkewSalting, ConnectedComponents}
 object IncrementalImageDedup {
 
   /** Corpus-artifact stage name at generation `gen`: gen 0 keeps the
-    * original un-suffixed names; each [[absorb]] call adds one generation. */
+    * original un-suffixed names; generations ≥ 1 carry a `_g<N>` suffix
+    * (FULL artifacts: legacy copy-on-write absorbs and [[compactGenerations]]
+    * output). [[absorb]] itself stages only `_d<N>` DELTA artifacts. */
   private def corpusName(base: String, gen: Int): String =
     if (gen == 0) base else s"${base}_g$gen"
+
+  /** Delta-artifact stage name for the rows generation `gen` added. */
+  private def deltaName(base: String, gen: Int): String = s"${base}_d$gen"
+
+  private val artifactBases = Seq("inc_corpus_annotated", "inc_corpus_shingles",
+    "inc_corpus_bands", "inc_corpus_grams", "inc_corpus_phchunks")
 
   /** Latest absorbed corpus generation present in the store (0 = none).
     * Each absorb commits a one-row `inc_corpus_gen_g<N>` marker LAST — the
     * durable generation anchor that [[pruneGenerations]] never drops (the
     * probe would otherwise break once a pruned middle generation left a
-    * hole); the annotated-table fallback keeps stores absorbed before the
-    * markers existed resolving correctly. */
+    * hole). Markers are AUTHORITATIVE once any exists; the full-annotated
+    * fallback applies ONLY to marker-less legacy stores (absorbed before
+    * markers existed, where the full `inc_corpus_annotated_g<N>` table was
+    * the last-committed stage) — a store WITH markers never resolves a
+    * generation through a table a crashed absorb may have left behind
+    * (advisor finding: the unconditional fallback let a crash between the
+    * annotated and marker commits double-absorb on re-run). */
   def latestGen(ckpt: StageStore): Int = {
     var g = 0
-    while (ckpt.isDone(corpusName("inc_corpus_gen", g + 1)) ||
-        ckpt.isDone(corpusName("inc_corpus_annotated", g + 1))) g += 1
-    g
+    while (ckpt.isDone(corpusName("inc_corpus_gen", g + 1))) g += 1
+    if (g > 0) g
+    else {
+      var h = 0
+      while (ckpt.isDone(corpusName("inc_corpus_annotated", h + 1))) h += 1
+      h
+    }
+  }
+
+  /** The generation whose FULL artifact set serves as the union-on-read
+    * base for `base` at generation `gen`: the highest `b ≤ gen` whose full
+    * artifact is staged (0 = the un-suffixed name or, for the annotated/
+    * shingle tables, the initial full-pipeline aliases). None = nothing
+    * staged yet (only legal before the first import stages gen 0). */
+  private def fullBaseGen(ckpt: StageStore, base: String, gen: Int,
+                          g0Alias: Option[String]): Option[Int] =
+    (gen to 1 by -1).find(b => ckpt.isDone(corpusName(base, b)))
+      .orElse(if (ckpt.isDone(base) || g0Alias.exists(ckpt.isDone)) Some(0) else None)
+
+  private def served(ckpt: StageStore, name: String): DataFrame =
+    ckpt.stage(name)(sys.error(s"unreachable: '$name' probed done"))
+
+  /** Union-on-read resolution of corpus artifact `base` at generation
+    * `gen`: the latest FULL staging (base generation) plus every absorbed
+    * DELTA staging above it. This is what makes [[absorb]] delta-sized:
+    * the base is written once (initial import or an explicit compaction)
+    * and each day's absorb only appends its delta rows as a new `_d<N>`
+    * stage — at 10^12-corpus scale the daily loop never rewrites the
+    * corpus-sized band/gram tables (round-4 verdict "What's wrong #2"). */
+  private def corpusArtifactAt(ckpt: StageStore, base: String, gen: Int,
+                               g0Alias: Option[String] = None): DataFrame = {
+    val fb = fullBaseGen(ckpt, base, gen, g0Alias).getOrElse(
+      sys.error(s"no staged corpus artifact '$base' (any generation ≤ $gen) " +
+        "in this store — run an import first"))
+    val baseDf =
+      if (fb == 0 && !ckpt.isDone(base) && g0Alias.exists(ckpt.isDone))
+        served(ckpt, g0Alias.get)
+      else served(ckpt, corpusName(base, fb))
+    // every generation above the chosen base must be a delta staging:
+    // fullBaseGen picked the HIGHEST full artifact, so a missing delta
+    // above it means the store is corrupt — fail loudly, never serve a
+    // partial corpus view
+    (fb + 1 to gen).foldLeft(baseDf) { (acc, h) =>
+      val d = deltaName(base, h)
+      require(ckpt.isDone(d),
+        s"corpus artifact generation $h of '$base' is missing ('$d' not " +
+          "staged above full base generation " + fb + ") — the store is corrupt")
+      acc.unionByName(served(ckpt, d))
+    }
   }
 
   /** Composable corpus fingerprint: (row count, xor of image_id hashes).
@@ -80,20 +139,51 @@ object IncrementalImageDedup {
     * [[absorb]] extends; resolving through here keeps stream and batch on
     * one corpus view across absorb generations. Fails loudly if no import
     * has staged corpus bands in this store yet. */
-  def corpusBands(ckpt: StageStore): DataFrame = {
-    val name = corpusName("inc_corpus_bands", latestGen(ckpt))
-    ckpt.stage(name)(sys.error(
-      s"no corpus band snapshot '$name' in this store — run an import first"))
+  def corpusBands(ckpt: StageStore): DataFrame =
+    corpusArtifactAt(ckpt, "inc_corpus_bands", latestGen(ckpt))
+
+  /** Rewrite the union-on-read artifact chain (full base + absorbed delta
+    * stages) as ONE full artifact set at the current generation — the
+    * optional compaction step of the daily ingest loop. absorb() itself
+    * never rewrites the corpus (delta-sized IO); after many generations
+    * the read path unions many small files, so a periodic compaction (at
+    * whatever cadence the read-amplification justifies — weekly, or when
+    * the delta-stage count passes a threshold) re-bases the chain and lets
+    * [[pruneGenerations]] reclaim everything below it. One full corpus
+    * read + write — schedule it like any table-maintenance job, NOT per
+    * day (that would be the copy-on-write behavior this design replaced).
+    * No-op at generation 0. @return the compacted generation */
+  def compactGenerations(ckpt: StageStore): Int = {
+    val latest = latestGen(ckpt)
+    if (latest > 0) {
+      artifactBases.foreach { base =>
+        val alias = g0AliasOf(ckpt, base)
+        ckpt.stage(corpusName(base, latest))(
+          corpusArtifactAt(ckpt, base, latest, alias))
+      }
+    }
+    latest
   }
 
-  /** Drop superseded corpus-artifact generations (everything below
-    * [[latestGen]]) — the storage-hygiene step of the daily ingest loop:
-    * without it every absorb() leaves the previous generation's full
-    * artifact set behind and the store grows linearly in days. Touches
-    * ONLY `inc_corpus_*` names — never the full pipeline's own s1/s2
-    * snapshots (other pipeline stages resume from those) and never any
-    * import's namespaced stages. Safe any time after the absorb that
-    * created the latest generation; re-runnable.
+  /** The initial full-pipeline snapshot that can stand in for a gen-0
+    * corpus artifact (see run(): a store populated by ImageDedupPipeline
+    * serves its s1/s2 snapshots instead of duplicating them). */
+  private def g0AliasOf(ckpt: StageStore, base: String): Option[String] = base match {
+    case "inc_corpus_annotated" if !ckpt.isDone(base) => Some("s1_annotated")
+    case "inc_corpus_shingles" if !ckpt.isDone(base)  => Some("s2_shingles")
+    case _                                            => None
+  }
+
+  /** Drop superseded corpus-artifact stagings — the storage-hygiene step
+    * of the daily ingest loop. Superseded = anything below the current
+    * FULL base generation (see [[corpusArtifactAt]]): full artifact sets
+    * of older generations, and delta stages (plus their src/fprint
+    * one-rowers) at or below the base, which a [[compactGenerations]] has
+    * folded into it. Delta stages ABOVE the base are live (the read path
+    * unions them) and are never touched; generation markers are never
+    * dropped (the latestGen probe chain must stay hole-free). Touches ONLY
+    * `inc_corpus_*` names — never the full pipeline's s1/s2 snapshots and
+    * never any import's namespaced stages. Re-runnable.
     * @return the dropped stage names */
   def pruneGenerations(ckpt: StageStore): Seq[String] = {
     val latest = latestGen(ckpt)
@@ -103,14 +193,16 @@ object IncrementalImageDedup {
       "pruneGenerations requires the per-generation marker stages " +
         "(inc_corpus_gen_g<N>); this store's absorbs predate them — " +
         "re-absorb the next delta first or leave the store unpruned")
-    val bases = Seq("inc_corpus_annotated", "inc_corpus_shingles",
-      "inc_corpus_bands", "inc_corpus_grams", "inc_corpus_phchunks",
-      "inc_corpus_fprint")
-    (0 until latest).flatMap { g =>
-      bases.map(corpusName(_, g)).filter(ckpt.isDone).map { n =>
-        ckpt.dropStage(n); n
-      }
-    }
+    val baseGen = fullBaseGen(ckpt, "inc_corpus_bands", latest, None).getOrElse(0)
+    val fullSuperseded = (0 until baseGen).flatMap(g =>
+      artifactBases.map(corpusName(_, g)))
+    val deltaSuperseded = (1 to baseGen).flatMap(g =>
+      artifactBases.map(deltaName(_, g)) :+ deltaName("inc_corpus_src", g))
+    // only the LATEST fingerprint is ever read (run() verifies against it,
+    // absorb composes from it) — all older ones are superseded
+    val fprintSuperseded = (0 until latest).map(corpusName("inc_corpus_fprint", _))
+    (fullSuperseded ++ deltaSuperseded ++ fprintSuperseded)
+      .filter(ckpt.isDone).map { n => ckpt.dropStage(n); n }
   }
 
   /** Bench/test run without durable snapshots: multiply-consumed stages are
@@ -169,12 +261,13 @@ object IncrementalImageDedup {
     val fpName = cn("inc_corpus_fprint")
     // probed BEFORE any staging: "did any corpus artifact exist already?"
     // — only a run that builds ALL of them from the passed corpus may
-    // stamp that corpus's fingerprint
-    val freshCorpusStaging = !Seq(
+    // stamp that corpus's fingerprint. Only possible at generation 0: any
+    // later generation exists because an absorb extended staged artifacts.
+    val freshCorpusStaging = gen == 0 && !Seq(
       "s1_annotated", "s2_shingles",
-      cn("inc_corpus_annotated"), cn("inc_corpus_shingles"),
-      cn("inc_corpus_bands"), cn("inc_corpus_grams"),
-      cn("inc_corpus_phchunks")).exists(ckpt.isDone)
+      "inc_corpus_annotated", "inc_corpus_shingles",
+      "inc_corpus_bands", "inc_corpus_grams",
+      "inc_corpus_phchunks").exists(ckpt.isDone)
     if (fingerprintCheck && ckpt.isDone(fpName)) {
       val st = ckpt.stage(fpName)(sys.error("unreachable: completed stage")).head()
       val (c, x) = fingerprint(corpus)
@@ -190,11 +283,20 @@ object IncrementalImageDedup {
     // THIS store, its s1_annotated / s2_shingles snapshots are byte-for-
     // byte what an import needs — serve them instead of recomputing, so
     // the very first import against yesterday's clustering store starts
-    // warm. After an absorb() the generation-suffixed artifacts win. ----
-    val annC =
-      if (gen == 0 && !ckpt.isDone("inc_corpus_annotated") && ckpt.isDone("s1_annotated"))
-        ckpt.stage("s1_annotated")(ImageDedupPipeline.annotate(corpus))
-      else ckpt.stage(cn("inc_corpus_annotated"))(ImageDedupPipeline.annotate(corpus))
+    // warm. Above generation 0 the artifacts MUST already exist (absorb
+    // maintains them) and resolve union-on-read as full base + absorbed
+    // delta stages — a warm import never re-annotates or re-hashes the
+    // corpus. ----
+    def corpusArtifact(base: String, g0Alias: Option[String])
+                      (compute: => DataFrame): DataFrame =
+      if (gen == 0) {
+        if (!ckpt.isDone(base) && g0Alias.exists(ckpt.isDone))
+          ckpt.stage(g0Alias.get)(compute)
+        else ckpt.stage(base)(compute)
+      } else corpusArtifactAt(ckpt, base, gen, g0Alias)
+
+    val annC = corpusArtifact("inc_corpus_annotated", Some("s1_annotated"))(
+      ImageDedupPipeline.annotate(corpus))
     val annD = imp.stage("inc_delta_annotated")(ImageDedupPipeline.annotate(delta))
     val repsC = annC.where(col("image_id") === col("rep"))
     val repsD = annD.where(col("image_id") === col("rep"))
@@ -205,10 +307,8 @@ object IncrementalImageDedup {
     val memberC = repsC.select(col("cid"), col("image_id"))
     val memberD = repsD.select(col("cid"), col("image_id"))
 
-    val shC =
-      if (gen == 0 && !ckpt.isDone("inc_corpus_shingles") && ckpt.isDone("s2_shingles"))
-        ckpt.stage("s2_shingles")(ImageDedupPipeline.shingleGramTable(capRepsC))
-      else ckpt.stage(cn("inc_corpus_shingles"))(ImageDedupPipeline.shingleGramTable(capRepsC))
+    val shC = corpusArtifact("inc_corpus_shingles", Some("s2_shingles"))(
+      ImageDedupPipeline.shingleGramTable(capRepsC))
     val shD = imp.stage("inc_delta_shingles")(ImageDedupPipeline.shingleGramTable(capRepsD))
 
     // ---- caption-level candidates (cid, cid). The corpus-side signature
@@ -219,18 +319,19 @@ object IncrementalImageDedup {
     // row instead of three; this snapshot is the largest thing a warm
     // import reads (32 band rows per caption), so a third off its width is
     // a third off the import's dominant scan. ----
-    val bandC = ckpt.stage(cn("inc_corpus_bands"))(foldBands(bandsOf(capRepsC)))
-    val gramC = ckpt.stage(cn("inc_corpus_grams"))(gramsOf(capRepsC))
-    val chunkC = ckpt.stage(cn("inc_corpus_phchunks"))(
+    val bandC = corpusArtifact("inc_corpus_bands", None)(foldBands(bandsOf(capRepsC)))
+    val gramC = corpusArtifact("inc_corpus_grams", None)(gramsOf(capRepsC))
+    val chunkC = corpusArtifact("inc_corpus_phchunks", None)(
       ImageDedupPipeline.phashChunks(repsC, col("caption")))
 
     // Record the fingerprint ONLY when this very run staged every corpus
-    // artifact (freshCorpusStaging) into a durable store (bands isDone
-    // after staging) — a store holding artifacts of unknown provenance
-    // (pre-fingerprint format, or a crash between artifact and fingerprint
-    // commits) must stay unverified forever rather than be certified
-    // against whatever corpus happens to be passed next (review finding).
-    if (freshCorpusStaging && ckpt.isDone(cn("inc_corpus_bands")) && !ckpt.isDone(fpName)) {
+    // artifact (freshCorpusStaging — implies generation 0) into a durable
+    // store (bands isDone after staging) — a store holding artifacts of
+    // unknown provenance (pre-fingerprint format, or a crash between
+    // artifact and fingerprint commits) must stay unverified forever
+    // rather than be certified against whatever corpus happens to be
+    // passed next (review finding).
+    if (freshCorpusStaging && ckpt.isDone("inc_corpus_bands") && !ckpt.isDone(fpName)) {
       val (c, x) = fingerprint(corpus)
       import spark.implicits._
       ckpt.stage(fpName)(Seq((c, x)).toDF("cnt", "xh"))
@@ -340,12 +441,30 @@ object IncrementalImageDedup {
   /** Fold an ACCEPTED import's delta into the durable corpus artifacts —
     * the daily-ingest loop's missing piece (round-3 verdict "missing #4"):
     * after the caller appends the delta to its corpus table (an Iceberg
-    * append in production), `absorb(importId)` appends the delta's
-    * annotation/shingle/band/gram/chunk rows to the staged corpus artifacts
-    * as generation gen+1 and composes the corpus fingerprint, so the NEXT
-    * import (passing the grown corpus) starts warm — delta-sized work, no
-    * corpus restage, no corpus scan (the fingerprint composes from staged +
-    * delta parts).
+    * append in production), `absorb(importId)` stages the delta's
+    * annotation/shingle/band/gram/chunk rows as generation gen+1 DELTA
+    * stages (`inc_corpus_*_d<N>`) and composes the corpus fingerprint, so
+    * the NEXT import (passing the grown corpus) starts warm. Work AND IO
+    * are delta-sized: the corpus-sized artifact tables are never re-read
+    * or rewritten — read paths union the full base staging with every
+    * absorbed delta stage ([[corpusArtifactAt]]), and [[compactGenerations]]
+    * re-bases the chain on whatever maintenance cadence the
+    * read-amplification justifies (round-4 verdict retired the previous
+    * copy-on-write absorb, whose daily full corpus rewrite would dominate
+    * the loop at 10^12 scale).
+    *
+    * Crash safety: the first commit is a one-row `inc_corpus_src_d<N>`
+    * intent stage (a DIFFERENT import trying to absorb into the same
+    * partial generation fails loudly instead of interleaving stages); the
+    * `(gen, import_id)` marker commits LAST, so a crash leaves latestGen
+    * unchanged and a re-run completes the remaining stages idempotently
+    * (StageStore.stage skips committed ones). A re-run AFTER the marker
+    * landed is a no-op returning the committed generation (the marker
+    * records which import it absorbed). Complete-but-unmarked generations
+    * left by pre-marker absorb versions are healed at entry (advisor
+    * finding): their marker is committed, and this call's import is
+    * tested for membership (one recovery-path scan) to decide between
+    * "already absorbed" and "absorb above it".
     *
     * Batch-wise annotation: the absorbed corpus artifacts are the UNION of
     * per-batch annotations, not a re-annotation of corpus ∪ delta — an
@@ -360,60 +479,99 @@ object IncrementalImageDedup {
     * Same single-writer / one-namespace-per-corpus contract as every
     * StageStore use.
     *
-    * @return the new corpus generation number */
+    * @return the corpus generation holding this import's delta */
   def absorb(spark: SparkSession, ckpt: StageStore, importId: String): Int = {
-    val gen = latestGen(ckpt)
-    val next = gen + 1
+    import spark.implicits._
+    var gen = latestGen(ckpt)
+
+    // no-op re-run: a committed marker already records this import
+    val already = (1 to gen).find { g =>
+      ckpt.isDone(corpusName("inc_corpus_gen", g)) && {
+        val m = served(ckpt, corpusName("inc_corpus_gen", g))
+        m.columns.contains("import_id") &&
+          m.head().getAs[String]("import_id") == importId
+      }
+    }
+    if (already.isDefined) return already.get
+
     def done(n: String): DataFrame = {
       require(ckpt.isDone(n),
         s"absorb('$importId'): stage '$n' is not committed in this store — " +
           "run() the import against this (durable) store before absorbing it")
-      ckpt.stage(n)(sys.error("unreachable: completed stage"))
+      served(ckpt, n)
     }
     val annD = done(s"${importId}_inc_delta_annotated")
     val shD = done(s"${importId}_inc_delta_shingles")
-    val annC =
-      if (gen == 0 && !ckpt.isDone("inc_corpus_annotated") && ckpt.isDone("s1_annotated"))
-        done("s1_annotated")
-      else done(corpusName("inc_corpus_annotated", gen))
-    val shC =
-      if (gen == 0 && !ckpt.isDone("inc_corpus_shingles") && ckpt.isDone("s2_shingles"))
-        done("s2_shingles")
-      else done(corpusName("inc_corpus_shingles", gen))
-    val bandC = done(corpusName("inc_corpus_bands", gen))
-    val gramC = done(corpusName("inc_corpus_grams", gen))
-    val chunkC = done(corpusName("inc_corpus_phchunks", gen))
+
+    // heal a complete-but-unmarked generation from a pre-marker absorb
+    // version (whose FULL annotated table was the final artifact commit):
+    // either latestGen itself resolved through the legacy annotated
+    // fallback without a marker, or a full annotated set sits one above
+    // the marker chain. Commit its missing marker, then decide whether
+    // THIS import was the one it absorbed (single-writer discipline makes
+    // the crashed import the one being re-run).
+    val unmarkedTop =
+      if (gen >= 1 && !ckpt.isDone(corpusName("inc_corpus_gen", gen))) Some(gen)
+      else if (ckpt.isDone(corpusName("inc_corpus_annotated", gen + 1)) &&
+               !ckpt.isDone(corpusName("inc_corpus_gen", gen + 1))) Some(gen + 1)
+      else None
+    unmarkedTop.foreach { t =>
+      val healedAnn = served(ckpt, corpusName("inc_corpus_annotated", t))
+      val dIds = annD.select(col("image_id"))
+      val inHealed = dIds.join(healedAnn.select(col("image_id")),
+        Seq("image_id"), "left_semi").count()
+      val dCnt = dIds.count()
+      require(inHealed == 0L || inHealed == dCnt,
+        s"absorb('$importId'): healed legacy generation $t contains $inHealed of " +
+          s"this import's $dCnt delta rows (expected none or all) — store is corrupt")
+      val owner = if (inHealed == dCnt) importId else "legacy-unknown"
+      ckpt.stage(corpusName("inc_corpus_gen", t))(
+        Seq((t, owner)).toDF("gen", "import_id"))
+      gen = t
+    }
+    if (unmarkedTop.contains(gen) && ckpt.isDone(corpusName("inc_corpus_gen", gen)) &&
+        served(ckpt, corpusName("inc_corpus_gen", gen))
+          .head().getAs[String]("import_id") == importId)
+      return gen
+
+    // the store must hold corpus artifacts to absorb into
+    require(fullBaseGen(ckpt, "inc_corpus_bands", gen, None).isDefined,
+      s"absorb('$importId'): no staged corpus band artifacts in this store — " +
+        "run an import against it first")
+
+    val next = gen + 1
+    // intent stage FIRST: a partial generation belongs to exactly one import
+    val src = ckpt.stage(deltaName("inc_corpus_src", next))(
+      Seq(importId).toDF("import_id"))
+    val prevImport = src.head().getString(0)
+    require(prevImport == importId,
+      s"absorb('$importId'): generation $next holds a partial absorb of import " +
+        s"'$prevImport' — re-run absorb('$prevImport') to complete it (or drop its " +
+        s"inc_corpus_*_d$next stages) before absorbing a different import")
 
     // delta contributions recomputed from the staged delta annotation —
-    // delta-sized work only
+    // delta-sized work only, staged as delta-only artifacts
     val capRepsD = annD.where(col("image_id") === col("cid")).select(col("cid"), col("caption"))
     val repsD = annD.where(col("image_id") === col("rep"))
-
-    ckpt.stage(corpusName("inc_corpus_bands", next))(
-      bandC.unionByName(foldBands(bandsOf(capRepsD))))
-    ckpt.stage(corpusName("inc_corpus_grams", next))(
-      gramC.unionByName(gramsOf(capRepsD)))
-    ckpt.stage(corpusName("inc_corpus_phchunks", next))(
-      chunkC.unionByName(ImageDedupPipeline.phashChunks(repsD, col("caption"))))
-    ckpt.stage(corpusName("inc_corpus_shingles", next))(shC.unionByName(shD))
+    ckpt.stage(deltaName("inc_corpus_bands", next))(foldBands(bandsOf(capRepsD)))
+    ckpt.stage(deltaName("inc_corpus_grams", next))(gramsOf(capRepsD))
+    ckpt.stage(deltaName("inc_corpus_phchunks", next))(
+      ImageDedupPipeline.phashChunks(repsD, col("caption")))
+    ckpt.stage(deltaName("inc_corpus_shingles", next))(shD)
+    ckpt.stage(deltaName("inc_corpus_annotated", next))(annD)
     // fingerprint composes (disjoint-id contract): no corpus scan
     if (ckpt.isDone(corpusName("inc_corpus_fprint", gen))) {
-      val prev = ckpt.stage(corpusName("inc_corpus_fprint", gen))(
-        sys.error("unreachable")).head()
+      val prev = served(ckpt, corpusName("inc_corpus_fprint", gen)).head()
       val (dc, dx) = fingerprint(annD)
-      import spark.implicits._
       ckpt.stage(corpusName("inc_corpus_fprint", next))(
         Seq((prev.getLong(0) + dc, prev.getLong(1) ^ dx)).toDF("cnt", "xh"))
     }
-    ckpt.stage(corpusName("inc_corpus_annotated", next))(annC.unionByName(annD))
-    // the one-row generation marker commits LAST: latestGen() probes it,
-    // so the generation bump is atomic-at-the-probe (a crash mid-absorb
-    // leaves gen unchanged and absorb is re-runnable), and pruning old
-    // generations keeps the markers so the probe chain never has holes
-    locally {
-      import spark.implicits._
-      ckpt.stage(corpusName("inc_corpus_gen", next))(Seq(next).toDF("gen"))
-    }
+    // the (gen, import_id) marker commits LAST: latestGen() probes it, so
+    // the generation bump is atomic-at-the-probe (a crash mid-absorb
+    // leaves gen unchanged and a re-run completes idempotently), and
+    // pruning keeps the markers so the probe chain never has holes
+    ckpt.stage(corpusName("inc_corpus_gen", next))(
+      Seq((next, importId)).toDF("gen", "import_id"))
     next
   }
 }

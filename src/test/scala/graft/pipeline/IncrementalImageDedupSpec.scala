@@ -121,9 +121,96 @@ class IncrementalImageDedupSpec extends AnyFlatSpec with Matchers with SparkTest
     val full = ImageDedupPipeline.runDirect(spark, corpus2.unionByName(d2))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     out2 shouldBe full
-    // and the second import reused generation-1 artifacts, no restage of a
-    // generation-0 OR fresh generation-1 annotation from scratch
-    s2.isDone("inc_corpus_annotated_g1") shouldBe true
+    // absorb staged ONLY the delta's artifact rows (delta-sized IO) — no
+    // rewritten full corpus table at generation 1
+    s2.isDone("inc_corpus_annotated_d1") shouldBe true
+    s2.isDone("inc_corpus_bands_d1") shouldBe true
+    s2.isDone("inc_corpus_annotated_g1") shouldBe false
+    s2.isDone("inc_corpus_bands_g1") shouldBe false
+  }
+
+  it should "treat a re-run of a completed absorb as a no-op (marker records the import)" in {
+    val dir = java.nio.file.Files.createTempDirectory("inc_noop").toString
+    val d1 = all.where(idNum % 20 === 18).localCheckpoint()
+    val c0 = ImageDedupPipeline.runDirect(spark, corpus).localCheckpoint()
+    val st = new StageCheckpoint(spark, dir)
+    IncrementalImageDedup.run(spark, corpus, c0, d1, st, "n1").count()
+    IncrementalImageDedup.absorb(spark, st, "n1") shouldBe 1
+    val bands1 = IncrementalImageDedup.corpusBands(new StageCheckpoint(spark, dir)).count()
+    // the retry must NOT create generation 2 with the same delta
+    IncrementalImageDedup.absorb(spark, new StageCheckpoint(spark, dir), "n1") shouldBe 1
+    val st2 = new StageCheckpoint(spark, dir)
+    IncrementalImageDedup.latestGen(st2) shouldBe 1
+    IncrementalImageDedup.corpusBands(st2).count() shouldBe bands1
+  }
+
+  it should "complete a crashed absorb idempotently on re-run (marker commits last)" in {
+    val dir = java.nio.file.Files.createTempDirectory("inc_crash").toString
+    val d1 = all.where(idNum % 20 === 18).localCheckpoint()
+    val c0 = ImageDedupPipeline.runDirect(spark, corpus).localCheckpoint()
+    val st = new StageCheckpoint(spark, dir)
+    IncrementalImageDedup.run(spark, corpus, c0, d1, st, "c1").count()
+    IncrementalImageDedup.absorb(spark, st, "c1") shouldBe 1
+    val bands1 = IncrementalImageDedup.corpusBands(new StageCheckpoint(spark, dir)).count()
+    // simulate the crash window: every delta stage committed, marker not
+    val st2 = new StageCheckpoint(spark, dir)
+    st2.dropStage("inc_corpus_gen_g1")
+    IncrementalImageDedup.latestGen(st2) shouldBe 0 // bump is atomic-at-the-probe
+    // re-run completes the generation without duplicating any delta rows
+    IncrementalImageDedup.absorb(spark, st2, "c1") shouldBe 1
+    val st3 = new StageCheckpoint(spark, dir)
+    IncrementalImageDedup.latestGen(st3) shouldBe 1
+    IncrementalImageDedup.corpusBands(st3).count() shouldBe bands1
+  }
+
+  it should "refuse to absorb a different import into someone else's partial generation" in {
+    val dir = java.nio.file.Files.createTempDirectory("inc_partial").toString
+    val d1 = all.where(idNum % 20 === 18).localCheckpoint()
+    val d2 = all.where(idNum % 20 === 19).localCheckpoint()
+    val c0 = ImageDedupPipeline.runDirect(spark, corpus).localCheckpoint()
+    val st = new StageCheckpoint(spark, dir)
+    IncrementalImageDedup.run(spark, corpus, c0, d1, st, "x1").count()
+    IncrementalImageDedup.run(spark, corpus, c0, d2, st, "x2").count()
+    IncrementalImageDedup.absorb(spark, st, "x1") shouldBe 1
+    // simulate import x9's absorb crashing right after its intent commit;
+    // absorbing x2 must then refuse generation 2 instead of interleaving
+    // its stages with x9's partial ones
+    import spark.implicits._
+    val st2 = new StageCheckpoint(spark, dir)
+    st2.stage("inc_corpus_src_d2")(Seq("x9").toDF("import_id")).count()
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalImageDedup.absorb(spark, new StageCheckpoint(spark, dir), "x2")
+    }
+    ex.getMessage should include("partial absorb of import 'x9'")
+  }
+
+  it should "heal a complete-but-unmarked legacy generation instead of double-absorbing" in {
+    // legacy copy-on-write absorbs committed a FULL annotated_g<N> table
+    // last with no marker; a crash before the marker left the generation
+    // complete but unmarked, and re-running absorb used to union the delta
+    // AGAIN as N+1 (advisor finding). Reproduce that store shape via
+    // compactGenerations (full artifacts at g1 = the legacy layout) plus a
+    // dropped marker, then verify absorb heals rather than doubles.
+    val dir = java.nio.file.Files.createTempDirectory("inc_heal").toString
+    val d1 = all.where(idNum % 20 === 18).localCheckpoint()
+    val c0 = ImageDedupPipeline.runDirect(spark, corpus).localCheckpoint()
+    val st = new StageCheckpoint(spark, dir)
+    IncrementalImageDedup.run(spark, corpus, c0, d1, st, "h1").count()
+    IncrementalImageDedup.absorb(spark, st, "h1") shouldBe 1
+    IncrementalImageDedup.compactGenerations(st) shouldBe 1
+    val bands1 = IncrementalImageDedup.corpusBands(new StageCheckpoint(spark, dir)).count()
+    val st2 = new StageCheckpoint(spark, dir)
+    st2.dropStage("inc_corpus_gen_g1")
+    // drop the delta stages too: a true legacy store has only full tables
+    Seq("inc_corpus_annotated_d1", "inc_corpus_shingles_d1", "inc_corpus_bands_d1",
+      "inc_corpus_grams_d1", "inc_corpus_phchunks_d1", "inc_corpus_src_d1")
+      .foreach(st2.dropStage)
+    // the annotated fallback may report gen 1 here — the old double-absorb trap
+    IncrementalImageDedup.absorb(spark, new StageCheckpoint(spark, dir), "h1") shouldBe 1
+    val st3 = new StageCheckpoint(spark, dir)
+    IncrementalImageDedup.latestGen(st3) shouldBe 1
+    st3.isDone("inc_corpus_gen_g1") shouldBe true // marker healed
+    IncrementalImageDedup.corpusBands(st3).count() shouldBe bands1
   }
 
   it should "equal a full re-run for RANDOM corpus/delta splits (property)" in {
@@ -144,7 +231,7 @@ class IncrementalImageDedupSpec extends AnyFlatSpec with Matchers with SparkTest
     }
   }
 
-  it should "prune superseded generations without breaking the current view" in {
+  it should "compact then prune superseded generations without breaking the current view" in {
     val dir = java.nio.file.Files.createTempDirectory("inc_prune").toString
     val d1 = all.where(idNum % 20 === 18).localCheckpoint()
     val d2 = all.where(idNum % 20 === 19).localCheckpoint()
@@ -154,15 +241,25 @@ class IncrementalImageDedupSpec extends AnyFlatSpec with Matchers with SparkTest
     out1.count()
     IncrementalImageDedup.absorb(spark, st, "p1") shouldBe 1
 
+    // before compaction the delta stages are LIVE — prune must not drop
+    // them (only the superseded generation-0 fingerprint is reclaimable)
+    val st1 = new StageCheckpoint(spark, dir)
+    val dropped0 = IncrementalImageDedup.pruneGenerations(st1)
+    dropped0 should not contain "inc_corpus_bands"
+    dropped0 should not contain "inc_corpus_bands_d1"
+    val preCompact = IncrementalImageDedup.corpusBands(new StageCheckpoint(spark, dir)).count()
+
+    IncrementalImageDedup.compactGenerations(new StageCheckpoint(spark, dir)) shouldBe 1
     val st2 = new StageCheckpoint(spark, dir)
     val dropped = IncrementalImageDedup.pruneGenerations(st2)
-    dropped should contain("inc_corpus_bands") // generation-0 artifacts freed
+    dropped should contain("inc_corpus_bands")    // generation-0 artifacts freed
+    dropped should contain("inc_corpus_bands_d1") // folded delta stages freed
     // the generation resolution and the current corpus view both survive
     val st3 = new StageCheckpoint(spark, dir)
     IncrementalImageDedup.latestGen(st3) shouldBe 1
     st3.isDone("inc_corpus_bands") shouldBe false
     st3.isDone("inc_corpus_bands_g1") shouldBe true
-    IncrementalImageDedup.corpusBands(st3).count() should be > 0L
+    IncrementalImageDedup.corpusBands(st3).count() shouldBe preCompact
     // and the NEXT import runs correctly against the pruned store
     val corpus2 = corpus.unionByName(d1).localCheckpoint()
     val out2 = IncrementalImageDedup.run(spark, corpus2, out1, d2, st3, "p2")
