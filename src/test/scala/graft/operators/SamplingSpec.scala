@@ -78,7 +78,76 @@ class SamplingSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     fast.count(_._2 == 99L) shouldBe 5
   }
 
-  "Sampling.balancedMix" should "downsample every stratum to the minority size, layout-independent" in {
+  "Sampling.stratifiedTopKByThreshold" should "equal the window formulation row-for-row (random strata, several k)" in {
+    // the unbounded-k scale path (threshold selection instead of a k-entry
+    // heap) must preserve EXACT semantics: same rows, same sample_rank
+    val rnd = new scala.util.Random(1717)
+    (1 to 3).foreach { trial =>
+      val rows = (0 until 500).map(i =>
+        (i.toLong * 1000L + rnd.nextInt(1000), rnd.nextInt(9).toLong))
+      val df = rows.toDF("id", "stratum").repartition(7)
+      val k = Seq(1L, 23L, 170L)(trial - 1)
+      def norm(d: org.apache.spark.sql.DataFrame) =
+        d.select("id", "stratum", "sample_rank")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      withClue(s"trial $trial k=$k") {
+        norm(Sampling.stratifiedTopKByThreshold(df, "id", "stratum", k, seed = trial.toLong)) shouldBe
+          norm(Sampling.stratifiedTopKWindow(df, "id", "stratum", k.toInt, seed = trial.toLong))
+      }
+    }
+  }
+
+  it should "handle ids colliding mod P (tied sample keys at the threshold) exactly" in {
+    // ids spaced exactly P apart share a sample key (the key map is an
+    // affine bijection mod P) — real at 10^12-scale ids, where ≈ corpus/P
+    // rows tie at any threshold key. Ties must resolve by id, identically
+    // to the window formulation.
+    val P = graft.config.GoldenConfig.P
+    val rows = (0 until 40).flatMap { i =>
+      (0 until 5).map(rep => (i.toLong * 977L + rep.toLong * P, (i % 3).toLong))
+    } // 5-deep key collisions throughout the key space
+    val df = rows.toDF("id", "stratum").repartition(5)
+    def norm(d: org.apache.spark.sql.DataFrame) =
+      d.select("id", "stratum", "sample_rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    Seq(3L, 7L, 31L).foreach { k =>
+      withClue(s"k=$k") {
+        norm(Sampling.stratifiedTopKByThreshold(df, "id", "stratum", k)) shouldBe
+          norm(Sampling.stratifiedTopKWindow(df, "id", "stratum", k.toInt))
+      }
+    }
+  }
+
+  it should "keep whole strata smaller than k, ranked" in {
+    val tiny = Seq((1L, 0L), (2L, 0L), (3L, 1L)).toDF("id", "stratum")
+    val out = Sampling.stratifiedTopKByThreshold(tiny, "id", "stratum", 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("sample_rank")))
+    out.length shouldBe 3
+    out.filter(_._2 == 0L).map(_._3).sorted shouldBe Seq(1L, 2L)
+    out.filter(_._2 == 1L).map(_._3) shouldBe Seq(1L)
+  }
+
+  "Sampling.balancedMix" should "equal the bounded-heap formulation on a LARGE minority stratum" in {
+    // the round-4 shape used stratifiedTopK with k = minority size — a
+    // multi-GB per-task heap once the minority is large. The threshold
+    // path must select the identical rows with bounded task state. Large
+    // minority here = 4000 rows/stratum (vs k=5-scale heaps elsewhere).
+    val df = spark.range(0L, 13000L).select(col("id"),
+      when(col("id") < 4000L, "a").when(col("id") < 9000L, "b")
+        .otherwise("c").as("src"))
+    val picked = Sampling.balancedMix(df.repartition(16), "id", "src")
+    picked.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap shouldBe
+      Map("a" -> 4000L, "b" -> 4000L, "c" -> 4000L)
+    // identical rows AND ranks as the window reference at the same k
+    val ref = Sampling.stratifiedTopKWindow(df, "id", "src", 4000)
+    picked.select("id", "sample_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
+      ref.select("id", "sample_rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  it should "downsample every stratum to the minority size, layout-independent" in {
     val df = spark.range(0L, 300L).select(col("id"),
       when(col("id") < 200L, "web").when(col("id") < 280L, "books")
         .otherwise("code").as("src"))
