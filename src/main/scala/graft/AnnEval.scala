@@ -123,7 +123,8 @@ object AnnEval {
       val c = planted(spark, nBase = 2000, nDups = 200, sigma)
       evalCorpus(name, c, c.where(col("id") >= 1000000L))
     } ++ {
-      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       evalCorpus("testdata (adversarial, max cos 0.47)", emb,
         emb.where(col("id") < 50))

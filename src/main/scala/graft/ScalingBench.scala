@@ -97,9 +97,14 @@ object ScalingBench {
     // counts equal — which the JSON/table report as explicit controls.
     val cpuNormEff = hi.utilization / lo.utilization
     val jobsInvariant = lo.jobs == hi.jobs
-    // AQE may re-plan partition COUNTS but not record counts; tolerance 1%
+    // AQE may re-plan partition COUNTS but not record counts; tolerance 1%.
+    // Both directions checked: records WRITTEN (map-side plan identical)
+    // AND records READ (a reduce-side divergence — e.g. a broadcast
+    // flipping to shuffle on one run — shows up here first).
+    def within1pct(a: Long, b: Long): Boolean =
+      math.abs(a - b) <= 0.01 * math.max(a, b)
     val shufInvariant =
-      math.abs(lo.shufRecW - hi.shufRecW) <= 0.01 * math.max(lo.shufRecW, hi.shufRecW)
+      within1pct(lo.shufRecW, hi.shufRecW) && within1pct(lo.shufRecR, hi.shufRecR)
 
     val runsJson = results.map(r =>
       s"""{"cores":${r.cores},"wall_sec":${r.wallSec},"images_per_sec":${r.imagesPerSec},"recall":${r.recall},"jobs":${r.jobs},"task_sec":${r.taskSec},"cpu_sec":${r.cpuSec},"gc_sec":${r.gcSec},"shuffle_rec_read":${r.shufRecR},"shuffle_rec_write":${r.shufRecW},"utilization":${r.utilization}}""")
