@@ -179,10 +179,31 @@ object SkewSalting {
     */
   /** @param maxBloomKeys overrides [[BloomMaxKeys]] — exposed so the
     *                      shuffle semi-join fallback is testable at small
-    *                      scale; production callers keep the default. */
+    *                      scale; production callers keep the default.
+    * @param leftBucketed  the left (corpus) side is served from a table
+    *                      hash-bucketed on `keyCols` (see
+    *                      [[graft.pipeline.StageStore.isBucketed]]): its
+    *                      scan already exposes the join's required
+    *                      partitioning, so the filtered corpus is cached
+    *                      partitioning-PRESERVINGLY (persist, not
+    *                      localCheckpoint — a checkpoint erases
+    *                      outputPartitioning) and the cold pair join plus
+    *                      the bucket-count aggregation run with ZERO
+    *                      corpus-side Exchange. Even the bloom's false
+    *                      positives (~[[BloomFppCross]] of the CORPUS — a
+    *                      corpus-scaled term the map-side filter cannot
+    *                      remove) then die locally in the join instead of
+    *                      riding the shuffle. The hot path explicitly
+    *                      BREAKS the inherited partitioning first: salting
+    *                      exists to spread one viral bucket over `fanout`
+    *                      tasks, and a plan that keeps the bucket
+    *                      co-located would satisfy the salted join's
+    *                      distribution requirement without an exchange —
+    *                      reintroducing the straggler. */
   def crossJoinPairs(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                      idCol: String, cap: Int, fanout: Int,
-                     maxBloomKeys: Long = BloomMaxKeys): DataFrame = {
+                     maxBloomKeys: Long = BloomMaxKeys,
+                     leftBucketed: Boolean = false): DataFrame = {
     val keys = keyCols.map(col)
     val l = left.select(keys :+ col(idCol).as("id"): _*)
     val r = right.select(keys :+ col(idCol).as("id"): _*).localCheckpoint(false)
@@ -194,12 +215,16 @@ object SkewSalting {
     if (rBuckets == 0L)
       return r.where(lit(false)).select(col("id").as("a"), col("id").as("b"))
     val keyHash = xxhash64(keys: _*)
-    val keptL = (if (rBuckets <= maxBloomKeys) {
+    val filteredL = if (rBuckets <= maxBloomKeys) {
       val bloom = rKeys.stat.bloomFilter(keyHash, rBuckets, BloomFppCross)
       val bc = spark.sparkContext.broadcast(bloom)
       val mightContain = udf((h: Long) => bc.value.mightContain(h))
       l.where(mightContain(keyHash))
-    } else l.join(rKeys, keyCols, "left_semi")).localCheckpoint(false)
+    } else l.join(rKeys, keyCols, "left_semi")
+    val keptL =
+      if (leftBucketed)
+        filteredL.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else filteredL.localCheckpoint(false)
 
     // both counts are delta-scaled now; pairable = both sides present
     val lc = keptL.groupBy(keys: _*).agg(count(lit(1)).as("lcount"))
@@ -217,8 +242,13 @@ object SkewSalting {
     val coldR = keptR.join(broadcast(hotKeys), keyCols, "left_anti")
     val coldPairs = crossPairJoin(coldL, coldR, keyCols)
 
-    // hot path: per-bucket choice of which side salts vs replicates
-    val hotL = keptL.join(broadcast(hot), keyCols, "inner")
+    // hot path: per-bucket choice of which side salts vs replicates. The
+    // localCheckpoint under leftBucketed deliberately erases the inherited
+    // bucket partitioning (hot rows are the delta-footprint ∩ hot-key
+    // subset — tiny) so the salted join MUST redistribute on (key, salt)
+    // — see the leftBucketed param doc.
+    val hotL0 = keptL.join(broadcast(hot), keyCols, "inner")
+    val hotL = if (leftBucketed) hotL0.localCheckpoint(false) else hotL0
     val hotR = keptR.join(broadcast(hot), keyCols, "inner")
     def salted(side: DataFrame, saltsWhenBigger: Boolean): DataFrame = {
       val bigger = if (saltsWhenBigger) col("left_bigger") else !col("left_bigger")

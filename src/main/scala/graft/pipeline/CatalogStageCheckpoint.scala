@@ -10,6 +10,11 @@ trait StageStore {
   /** Whether `stage(name)` would serve a completed snapshot without forcing
     * its compute. Default false — ephemeral stores recompute always. */
   def isDone(name: String): Boolean = false
+  /** Whether the committed stage is persisted hash-bucketed on its join
+    * key, i.e. `stage(name)` serves a scan whose outputPartitioning lets
+    * key-joins/aggs skip their Exchange. Default false — only bucket-aware
+    * catalog stores ever answer true. */
+  def isBucketed(name: String): Boolean = false
   /** Delete a committed stage's snapshot (storage hygiene — e.g. pruning
     * superseded corpus generations). Durable stores implement it; the
     * default fails loudly rather than silently pretending to free space. */
@@ -39,9 +44,19 @@ trait StageStore {
   * metrics land in `<stage>__metrics` tables; the run manifest is itself a
   * catalog table (`_manifest`), appended once per completed stage.
   */
+/** @param bucketSpec stage name → (bucket key column, bucket count) for
+  *   stages that should persist hash-bucketed (e.g. the incremental corpus
+  *   signature tables — [[graft.pipeline.IncrementalImageDedup.bucketSpec]]).
+  *   Bucketed stages go through the V1 `bucketBy(...).sortBy(...)` writer
+  *   (the session catalog's bucket metadata path); an Iceberg deployment
+  *   expresses the same layout as `partitionedBy(bucket(n, col))` on the
+  *   writeTo path. Reads of a bucketed stage expose
+  *   HashPartitioning(key, n), so downstream key-joins/aggs skip their
+  *   corpus-side Exchange ([[StageStore.isBucketed]]). */
 class CatalogStageCheckpoint(spark: SparkSession, namespace: String,
                              format: String = "parquet",
-                             location: Option[String] = None)
+                             location: Option[String] = None,
+                             bucketSpec: String => Option[(String, Int)] = _ => None)
     extends StageStore {
 
   private val loc = location.map(l => s" LOCATION '$l'").getOrElse("")
@@ -51,6 +66,9 @@ class CatalogStageCheckpoint(spark: SparkSession, namespace: String,
   private val manifestTbl = tbl("_manifest")
 
   override def isDone(name: String): Boolean = spark.catalog.tableExists(tbl(name))
+
+  override def isBucketed(name: String): Boolean =
+    bucketSpec(name).isDefined && isDone(name)
 
   /** Drops the stage table and its metrics table; the manifest keeps the
     * historical commit row (isDone turns false with the table gone, so a
@@ -75,7 +93,13 @@ class CatalogStageCheckpoint(spark: SparkSession, namespace: String,
       out
     } else {
       val t0 = System.nanoTime()
-      compute.writeTo(tbl(name)).using(format).create()
+      bucketSpec(name) match {
+        case Some((key, n)) =>
+          compute.write.bucketBy(n, key).sortBy(key)
+            .mode("overwrite").format(format).saveAsTable(tbl(name))
+        case None =>
+          compute.writeTo(tbl(name)).using(format).create()
+      }
       val out = spark.table(tbl(name))
       writeMetricsIfMissing(name, out)
       val rows = out.count()

@@ -165,6 +165,24 @@ object IncrementalImageDedup {
     latest
   }
 
+  /** Bucket spec for [[CatalogStageCheckpoint]] wiring the incremental
+    * corpus SIGNATURE tables (every generation variant: base, `_g<N>`
+    * compactions, `_d<N>` absorb deltas) to hash-bucketed staging on their
+    * candidate-join key. A warm import against such a store reads the
+    * corpus side of each cross join pre-partitioned — zero corpus-side
+    * Exchange (plan-pinned in IncrementalBucketingSpec), which at 10^12
+    * rows removes the shuffle of the delta-footprint + bloom-FP corpus
+    * slice every single day. `buckets` should be sized so one bucket of
+    * the BAND table fits an executor core's working set (rows ≈ 32·corpus
+    * / buckets). */
+  def bucketSpec(buckets: Int): String => Option[(String, Int)] = name => {
+    name.replaceAll("_[gd]\\d+$", "") match {
+      case "inc_corpus_bands" | "inc_corpus_phchunks" => Some(("bucket", buckets))
+      case "inc_corpus_grams"                         => Some(("gram_hash", buckets))
+      case _                                          => None
+    }
+  }
+
   /** The initial full-pipeline snapshot that can stand in for a gen-0
     * corpus artifact (see run(): a store populated by ImageDedupPipeline
     * serves its s1/s2 snapshots instead of duplicating them). */
@@ -319,9 +337,20 @@ object IncrementalImageDedup {
     // row instead of three; this snapshot is the largest thing a warm
     // import reads (32 band rows per caption), so a third off its width is
     // a third off the import's dominant scan. ----
-    val bandC = corpusArtifact("inc_corpus_bands", None)(foldBands(bandsOf(capRepsC)))
-    val gramC = corpusArtifact("inc_corpus_grams", None)(gramsOf(capRepsC))
-    val chunkC = corpusArtifact("inc_corpus_phchunks", None)(
+    // Signature tables additionally report whether they were served from a
+    // SINGLE bucketed staging (store bucket spec + no delta generations
+    // stacked above the base — a union erases scan partitioning), which
+    // lets the candidate cross joins run with zero corpus-side Exchange
+    // (SkewSalting.crossJoinPairs leftBucketed). After absorbs stack delta
+    // stages, compactGenerations() restores the single-staging fast path.
+    def signatureArtifact(base: String)(compute: => DataFrame): (DataFrame, Boolean) =
+      if (gen == 0) (ckpt.stage(base)(compute), ckpt.isBucketed(base))
+      else (corpusArtifactAt(ckpt, base, gen, None),
+        fullBaseGen(ckpt, base, gen, None).contains(gen) &&
+          ckpt.isBucketed(corpusName(base, gen)))
+    val (bandC, bandsBk) = signatureArtifact("inc_corpus_bands")(foldBands(bandsOf(capRepsC)))
+    val (gramC, gramsBk) = signatureArtifact("inc_corpus_grams")(gramsOf(capRepsC))
+    val (chunkC, chunksBk) = signatureArtifact("inc_corpus_phchunks")(
       ImageDedupPipeline.phashChunks(repsC, col("caption")))
 
     // Record the fingerprint ONLY when this very run staged every corpus
@@ -339,9 +368,9 @@ object IncrementalImageDedup {
 
     val capCross = imp.stage("inc_cap_cross_pairs") {
       SkewSalting.crossJoinPairs(bandC, foldBands(bandsOf(capRepsD)),
-          Seq("bucket"), "id", SaltCap, SaltFanout)
+          Seq("bucket"), "id", SaltCap, SaltFanout, leftBucketed = bandsBk)
         .unionByName(SkewSalting.crossJoinPairs(gramC, gramsOf(capRepsD),
-          Seq("gram_hash"), "id", SaltCap, SaltFanout))
+          Seq("gram_hash"), "id", SaltCap, SaltFanout, leftBucketed = gramsBk))
     }
     val capSelfD = imp.stage("inc_cap_delta_pairs") {
       MinHashLsh.candidatePairs(bandsOf(capRepsD))
@@ -367,7 +396,7 @@ object IncrementalImageDedup {
     val phCross = SkewSalting.crossJoinPairs(
       chunkC,
       ImageDedupPipeline.phashChunks(repsD, col("caption")),
-      Seq("bucket"), "id", SaltCap, SaltFanout)
+      Seq("bucket"), "id", SaltCap, SaltFanout, leftBucketed = chunksBk)
     val phSelfD = SkewSalting.selfJoinPairs(
       ImageDedupPipeline.phashChunks(repsD, col("cid")),
       Seq("bucket"), "id", SaltCap, SaltFanout)
