@@ -766,6 +766,37 @@ FROM c GROUP BY user_id, session_seq ORDER BY user_id, session_seq""",
    row_number() OVER (PARTITION BY source
      ORDER BY ($M * (doc_id % $P) + $LcgAddA) % $P, doc_id)::BIGINT AS sample_rank
   FROM documents)
-SELECT doc_id, source, sample_rank FROM r, k WHERE sample_rank <= k.kk ORDER BY doc_id"""
+SELECT doc_id, source, sample_rank FROM r, k WHERE sample_rank <= k.kk ORDER BY doc_id""",
+
+    // duplicate-line fraction (Gopher's second repetition signal); the
+    // literal separator is the vocabulary word " line " because the
+    // synthetic documents carry no newline bytes (operator default "\n")
+    "q55_dup_lines" ->
+      """WITH sp AS (SELECT doc_id, [trim(p) FOR p IN string_split(text, ' line ')] AS ps FROM documents),
+ ls AS (SELECT doc_id, [x FOR x IN ps IF len(x) > 0] AS l FROM sp),
+ st AS (SELECT doc_id, len(l)::BIGINT AS n_lines,
+   (len(l) - len(list_distinct(l)))::BIGINT AS n_dup_lines FROM ls WHERE len(l) > 0)
+SELECT doc_id, n_lines, n_dup_lines, (n_dup_lines * 1000) // n_lines AS dup_line_millis
+FROM st ORDER BY doc_id""",
+
+    // URL normalization: 3 deterministic variants per doc (scheme, www,
+    // host case, trailing slash, #fragment) must collapse to one key;
+    // recipe mirrors TextAnalysis.normalizeUrl step for step. DuckDB
+    // regexp_replace is first-match (all four patterns match at most once)
+    "q56_url_normalize" ->
+      """WITH v AS (SELECT doc_id, unnest([
+   'https://www.Example' || (doc_id % 7)::VARCHAR || '.COM/docs/' || doc_id::VARCHAR,
+   'HTTP://example' || (doc_id % 7)::VARCHAR || '.com/docs/' || doc_id::VARCHAR || '/',
+   'www.Example' || (doc_id % 7)::VARCHAR || '.COM/docs/' || doc_id::VARCHAR || '#frag']) AS url
+  FROM documents),
+ n1 AS (SELECT doc_id, url, regexp_replace(trim(url), '^https?://', '', 'i') AS u FROM v),
+ n2 AS (SELECT doc_id, url, regexp_replace(u, '#.*$', '') AS u FROM n1),
+ n3 AS (SELECT doc_id, url, regexp_replace(u, '^www\.', '', 'i') AS u FROM n2),
+ n4 AS (SELECT doc_id, url, strpos(u, '/') AS cut, u FROM n3),
+ n5 AS (SELECT doc_id, url,
+   CASE WHEN cut > 0 THEN lower(substr(u, 1, cut - 1)) || substr(u, cut)
+        ELSE lower(u) END AS u FROM n4)
+SELECT doc_id, url, regexp_replace(u, '/+$', '') AS norm_url
+FROM n5 ORDER BY doc_id, url"""
   )
 }

@@ -443,6 +443,34 @@ object Queries {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** Duplicate-line-fraction repetition signal (Gopher's second repetition
+    * filter next to q50's duplicate-gram share). The driver's synthetic
+    * documents carry no newline bytes, so the vocabulary word " line "
+    * serves as the literal separator here (non-degenerate on this data);
+    * the operator itself defaults to "\n" — see TextAnalysis.dupLineStats
+    * and the multi-line fixtures in its spec. */
+  def dupLines(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dupLineStats(docs(s, dir), "doc_id", "text", sep = " line ")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  /** URL normalization as a pre-collapse dedup key. The testdata carries
+    * no URL column, so deterministic scheme/www/host-case/trailing-slash/
+    * fragment VARIANTS of one address are derived per document and
+    * normalized — all three variants of a document must share norm_url
+    * (the collapse the spec pins; the oracle pins the exact recipe). */
+  def urlNormalize(s: SparkSession, dir: String): DataFrame = {
+    val host = concat(lit("Example"), pmod(col("doc_id"), lit(7L)), lit(".COM"))
+    val path = concat(lit("/docs/"), col("doc_id"))
+    val variants = array(
+      concat(lit("https://www."), host, path),
+      concat(lit("HTTP://"), lower(host), path, lit("/")),
+      concat(lit("www."), host, path, lit("#frag")))
+    docs(s, dir).select(col("doc_id"), explode(variants).as("url"))
+      .withColumn("norm_url", TextAnalysis.normalizeUrl(col("url")))
+      .orderBy("doc_id", "url")
+  }
+
   // ---- relational operators (reference A-rows over TPC-H-ish tables) -------
 
   def aggPricing(s: SparkSession, dir: String): DataFrame =

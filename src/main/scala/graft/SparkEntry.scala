@@ -64,7 +64,9 @@ object SparkEntry {
     "q51_keep_best" -> (Queries.keepBest(_, _)),
     "q52_embedding_cross_near_dup" -> (Queries.embeddingCrossNearDup(_, _)),
     "q53_balanced_mix" -> (Queries.balancedMix(_, _)),
-    "q54_sessionize" -> (Queries.sessionize(_, _))
+    "q54_sessionize" -> (Queries.sessionize(_, _)),
+    "q55_dup_lines" -> (Queries.dupLines(_, _)),
+    "q56_url_normalize" -> (Queries.urlNormalize(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -271,6 +271,59 @@ object TextAnalysis {
         sum(when(col("cnt") >= 2L, col("cnt")).otherwise(0L)).as("n_dup_grams"))
       .withColumn("rep_millis", expr("(n_dup_grams * 1000) div n_grams"))
 
+  /** Per-document duplicate-LINE fraction — the second Gopher-style
+    * repetition signal next to [[repetition]]'s duplicate-gram share
+    * (MassiveText cuts documents whose duplicate-line fraction is high:
+    * boilerplate, navigation chrome, chat logs). Lines = the text split on
+    * the LITERAL separator `sep`, trimmed, empties dropped;
+    * dup_line_millis = (n_lines − distinct lines)·1000 div n_lines (the
+    * engine's exact-integer cross-engine parity convention). Documents
+    * with zero (non-empty) lines emit nothing.
+    *
+    * Pure per-row array expressions — map-side at any corpus size, no
+    * shuffle, no state.
+    *
+    * `sep` defaults to "\n" (the real-corpus line break). The driver's
+    * synthetic documents carry no newline bytes at all (builder round-4
+    * note), so the oracled query q55 passes the vocabulary word " line "
+    * as separator to stay non-degenerate on that data; genuine multi-line
+    * behavior is pinned by TextAnalysisSpec fixtures and the edge-fixture
+    * tool's multi-line document. */
+  def dupLineStats(df: DataFrame, idCol: String, textCol: String,
+                   sep: String = "\n"): DataFrame = {
+    val pieces = split(col(textCol), java.util.regex.Pattern.quote(sep), -1)
+    val lines = filter(transform(pieces, p => trim(p)), p => length(p) > 0)
+    df.select(col(idCol).as("id"), lines.as("_l"))
+      .where(size(col("_l")) > 0)
+      .select(col("id"),
+        size(col("_l")).cast("long").as("n_lines"),
+        (size(col("_l")) - size(array_distinct(col("_l")))).cast("long")
+          .as("n_dup_lines"))
+      .withColumn("dup_line_millis", expr("(n_dup_lines * 1000) div n_lines"))
+  }
+
+  /** URL normalization (A7 family: the reference normalizes property
+    * values per source during import — R:.../datalake/
+    * DataLakeImportImplementation.scala; a web-corpus pipeline normalizes
+    * URLs BEFORE dedup so scheme/www/host-case/trailing-slash/fragment
+    * variants of one address collapse to one key): trim → strip the
+    * http(s) scheme → strip the #fragment → strip a leading www. →
+    * lowercase the HOST only (path case is significant) → trim trailing
+    * slashes. Pure codegen'd string expressions — map-side at any scale,
+    * usable directly as a pre-collapse dedup key (spec pins that variant
+    * URLs collapse; q56 oracles the exact recipe against DuckDB). */
+  def normalizeUrl(url: Column): Column = {
+    val noScheme = regexp_replace(trim(url), "(?i)^https?://", "")
+    val noFrag = regexp_replace(noScheme, "#.*$", "")
+    val noWww = regexp_replace(noFrag, "(?i)^www\\.", "")
+    val cut = instr(noWww, "/")
+    val hostLowered = when(cut > 0,
+        concat(lower(substring_index(noWww, "/", 1)),
+          noWww.substr(cut, length(noWww))))
+      .otherwise(lower(noWww))
+    regexp_replace(hostLowered, "/+$", "")
+  }
+
   // ---- benchmark-contamination check (train/test overlap) ---------------
 
   /** For each eval-set document, the share of its distinct l-gram hashes

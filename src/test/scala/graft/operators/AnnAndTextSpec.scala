@@ -294,4 +294,61 @@ class AnnAndTextSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     out(101L) shouldBe ((1L, 0L, 0L))
     out.keySet should not contain 102L
   }
+
+  "dupLineStats" should "score duplicate-line fraction over genuine newline-separated text" in {
+    val d = Seq(
+      (1L, "alpha beta\nalpha beta\ngamma delta\n\nalpha beta"), // 4 lines, 'alpha beta' ×3
+      (2L, "no duplicate lines\nsecond line\nthird line"),
+      (3L, "single line only"),
+      (4L, "  \n \n"), // only blank lines → no rows emitted
+      (5L, " padded \npadded\n") // trim makes these DUPLICATE lines
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dupLineStats(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getAs[Long]("dup_line_millis")))).toMap
+    out(1L) shouldBe ((4L, 2L, 500L)) // 4 non-empty lines, 2 beyond-first copies
+    out(2L) shouldBe ((3L, 0L, 0L))
+    out(3L) shouldBe ((1L, 0L, 0L))
+    out.keySet should not contain 4L
+    out(5L) shouldBe ((2L, 1L, 500L))
+  }
+
+  "normalizeUrl" should "collapse scheme/www/case/slash/fragment variants to one key" in {
+    val variants = Seq(
+      "https://www.Example.COM/Docs/A",
+      "HTTP://example.com/Docs/A",
+      "www.EXAMPLE.com/Docs/A/",
+      "  example.com/Docs/A#section-2 ",
+      "https://example.com/Docs/A///")
+    val d = variants.zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("id", "url")
+    val norms = d.select(TextAnalysis.normalizeUrl(col("url")))
+      .collect().map(_.getString(0)).toSet
+    norms shouldBe Set("example.com/Docs/A") // path case PRESERVED, host lowered
+    // distinct addresses stay distinct
+    val other = Seq((0L, "https://example.com/Docs/B"), (1L, "https://example.org/Docs/A"))
+      .toDF("id", "url").select(TextAnalysis.normalizeUrl(col("url")))
+      .collect().map(_.getString(0)).toSet
+    other shouldBe Set("example.com/Docs/B", "example.org/Docs/A")
+    // host-only URLs (no path) lower entirely; bare trailing slash trims
+    Seq((0L, "HTTPS://WWW.Example.COM/")).toDF("id", "url")
+      .select(TextAnalysis.normalizeUrl(col("url")))
+      .head().getString(0) shouldBe "example.com"
+  }
+
+  it should "collapse url-variant near-dups when used as a pre-collapse key" in {
+    // the dedup-path use: exact grouping on the normalized key collapses
+    // rows whose raw URLs differ only by normalization-invariant noise
+    val rows = Seq(
+      (1L, "https://www.Site.COM/page/1"),
+      (2L, "http://site.com/page/1/"),
+      (3L, "site.com/page/1#top"),
+      (4L, "https://site.com/page/2")
+    ).toDF("id", "url")
+    val collapsed = rows
+      .groupBy(TextAnalysis.normalizeUrl(col("url")).as("key"))
+      .agg(count(lit(1)).as("n"), min("id").as("rep"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    collapsed("site.com/page/1") shouldBe ((3L, 1L))
+    collapsed("site.com/page/2") shouldBe ((1L, 4L))
+  }
 }

@@ -28,6 +28,13 @@ DOCS = [
     (12, "MiXeD CaSe TeXt With  double  spaces and CAPS"),
     (13, "short"),
     (14, "twelve tokens exactly one two three four five six seven eight nine"),
+    # multi-line documents (dup-line fraction; real corpora carry \n even
+    # though the driver's synthetic documents do not)
+    (15, "alpha beta\nalpha beta\ngamma delta\n\nalpha beta"),
+    (16, "single trailing newline here\n"),
+    (17, "no duplicate lines\nsecond line content\nthird line content"),
+    # q55's separator word inside a multi-line doc
+    (18, "left part line right part\nleft part line right part"),
 ]
 
 def main(outdir):
