@@ -797,6 +797,23 @@ FROM st ORDER BY doc_id""",
    CASE WHEN cut > 0 THEN lower(substr(u, 1, cut - 1)) || substr(u, cut)
         ELSE lower(u) END AS u FROM n4)
 SELECT doc_id, url, regexp_replace(u, '/+$', '') AS norm_url
-FROM n5 ORDER BY doc_id, url"""
+FROM n5 ORDER BY doc_id, url""",
+
+    // corpus-wide exact line dedup: each repeated line keeps only its
+    // first (doc_id, pos) occurrence; docs reassembled from survivors.
+    // The window here is oracle-side only — the Spark plan uses a
+    // map-side-combining groupBy(line).min(struct) instead
+    "q57_dedup_lines_corpus" ->
+      """WITH sp AS (SELECT doc_id, [x FOR x IN [trim(p) FOR p IN string_split(text, ' line ')] IF len(x) > 0] AS l FROM documents),
+ ex0 AS (SELECT doc_id, unnest([{'pos': i, 'line': l[i+1]} FOR i IN range(0, len(l))]) AS e FROM sp),
+ ex AS (SELECT doc_id, e.pos AS pos, e.line AS line FROM ex0),
+ w AS (SELECT doc_id, pos, line,
+   row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rk FROM ex),
+ agg AS (SELECT doc_id, count(*)::BIGINT AS n_total,
+   sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+   string_agg(CASE WHEN rk = 1 THEN line END, ' line ' ORDER BY pos) AS text
+  FROM w GROUP BY doc_id)
+SELECT doc_id, text, n_kept, (n_total - n_kept)::BIGINT AS n_dropped
+FROM agg WHERE n_kept > 0 ORDER BY doc_id"""
   )
 }

@@ -454,6 +454,15 @@ object Queries {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** Corpus-wide exact line dedup (RefinedWeb/C4-style sub-document
+    * curation): every repeated line keeps only its first corpus occurrence
+    * and documents are reassembled from survivors. Same " line " separator
+    * convention as q55 (the synthetic docs carry no newline bytes). */
+  def dedupLinesCorpus(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dedupLinesAcrossCorpus(docs(s, dir), "doc_id", "text", sep = " line ")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   /** URL normalization as a pre-collapse dedup key. The testdata carries
     * no URL column, so deterministic scheme/www/host-case/trailing-slash/
     * fragment VARIANTS of one address are derived per document and

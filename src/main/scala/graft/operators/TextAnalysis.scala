@@ -302,6 +302,52 @@ object TextAnalysis {
       .withColumn("dup_line_millis", expr("(n_dup_lines * 1000) div n_lines"))
   }
 
+  /** Corpus-wide exact LINE dedup (RefinedWeb/C4-style sub-document
+    * dedup: boilerplate lines — navigation chrome, cookie banners, footer
+    * text — repeat across millions of pages; removing repeated lines while
+    * keeping the documents is standard corpus curation). Every non-empty
+    * trimmed line keeps exactly its FIRST corpus occurrence (ordered by
+    * (doc_id, position)); all later copies anywhere in the corpus drop.
+    * Documents are reassembled from their surviving lines in original
+    * order; documents with no surviving line are omitted.
+    *
+    * Output: (id, text, n_kept, n_dropped) — `text` rejoined with `sep`.
+    *
+    * Scale shape: first-occurrence selection is groupBy(line).min(struct
+    * (doc_id, pos)) — partial (map-side) aggregation, so a line repeated
+    * 10^9 times contributes one partial row per map task, NEVER a window
+    * over the viral line group (the straggler this operator would
+    * otherwise create is exactly the boilerplate it exists to remove).
+    * The join-back is an equi-join on the line value (AQE-splittable);
+    * reassembly aggregates each document's own lines (bounded by document
+    * size). Exact — grouping is on the line STRING, not a hash. */
+  def dedupLinesAcrossCorpus(df: DataFrame, idCol: String, textCol: String,
+                             sep: String = "\n"): DataFrame = {
+    val pieces = split(col(textCol), java.util.regex.Pattern.quote(sep), -1)
+    val lines = filter(transform(pieces, p => trim(p)), p => length(p) > 0)
+    val exploded = df
+      .select(col(idCol).as("id"), posexplode(lines).as(Seq("pos", "line")))
+      .localCheckpoint(false) // consumed by the winner agg AND the join-back
+    val winners = exploded
+      .groupBy("line")
+      .agg(min(struct(col("id"), col("pos"))).as("first"))
+      .select(col("line"), col("first")("id").as("_wid"), col("first")("pos").as("_wpos"))
+    val doc = exploded.join(winners, Seq("line"))
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("id") === col("_wid") && col("pos") === col("_wpos"), 1L)
+          .otherwise(0L)).as("n_kept"),
+        array_sort(collect_list(when(
+          col("id") === col("_wid") && col("pos") === col("_wpos"),
+          struct(col("pos"), col("line"))))).as("kept"))
+      .where(col("n_kept") > 0L)
+    doc.select(col("id"),
+      array_join(transform(col("kept"), k => k("line")), sep).as("text"),
+      col("n_kept").cast("long").as("n_kept"),
+      (col("n_total") - col("n_kept")).cast("long").as("n_dropped"))
+  }
+
   /** URL normalization (A7 family: the reference normalizes property
     * values per source during import — R:.../datalake/
     * DataLakeImportImplementation.scala; a web-corpus pipeline normalizes

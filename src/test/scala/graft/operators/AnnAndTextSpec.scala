@@ -313,6 +313,36 @@ class AnnAndTextSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     out(5L) shouldBe ((2L, 1L, 500L))
   }
 
+  "dedupLinesAcrossCorpus" should "keep only each line's first corpus occurrence and reassemble" in {
+    val d = Seq(
+      (1L, "cookie banner\nunique one\ncookie banner"), // repeats within a doc too
+      (2L, "cookie banner\nunique two"),
+      (3L, "cookie banner"),                            // nothing survives → omitted
+      (4L, " unique one \nfresh line")                  // trimmed copy of doc 1's line
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupLinesAcrossCorpus(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getAs[Long]("n_dropped")))).toMap
+    out(1L) shouldBe (("cookie banner\nunique one", 2L, 1L))
+    out(2L) shouldBe (("unique two", 1L, 1L))
+    out.keySet should not contain 3L
+    out(4L) shouldBe (("fresh line", 1L, 1L))
+  }
+
+  it should "handle a viral boilerplate line without a window over its group" in {
+    // 20k copies of one line across docs — the skew case the operator
+    // exists for; first-occurrence selection must be a partial-aggregating
+    // groupBy (one partial row per map task), never a Window over the line
+    val d = spark.range(0L, 20000L).selectExpr("id AS doc_id",
+      "concat('shared boilerplate\\nuniq ', id) AS text").repartition(16)
+    val out = TextAnalysis.dedupLinesAcrossCorpus(d, "doc_id", "text")
+    out.queryExecution.executedPlan.toString should not include "Window"
+    val rows = out.collect()
+    rows.length shouldBe 20000 // every doc keeps its unique line
+    rows.count(_.getAs[Long]("n_dropped") == 0L) shouldBe 1 // only doc 0 keeps the shared line
+    rows.map(_.getAs[Long]("n_kept")).sum shouldBe 20001L
+  }
+
   "normalizeUrl" should "collapse scheme/www/case/slash/fragment variants to one key" in {
     val variants = Seq(
       "https://www.Example.COM/Docs/A",
