@@ -814,6 +814,17 @@ FROM n5 ORDER BY doc_id, url""",
    string_agg(CASE WHEN rk = 1 THEN line END, ' line ' ORDER BY pos) AS text
   FROM w GROUP BY doc_id)
 SELECT doc_id, text, n_kept, (n_total - n_kept)::BIGINT AS n_dropped
-FROM agg WHERE n_kept > 0 ORDER BY doc_id"""
+FROM agg WHERE n_kept > 0 ORDER BY doc_id""",
+
+    // sequence packing: running token offsets in doc_id order → first/last
+    // 2048-token context chunk per doc. The single global window here is
+    // oracle-side only — the Spark plan is the bounded two-level prefix sum
+    "q58_sequence_pack" ->
+      """WITH t AS (SELECT doc_id, len(string_split(lower(text),' '))::BIGINT AS n_tokens FROM documents),
+ o AS (SELECT doc_id, n_tokens,
+   COALESCE(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_offset FROM t)
+SELECT doc_id, n_tokens, tok_offset, tok_offset // 2048 AS chunk_first,
+ greatest(tok_offset, tok_offset + n_tokens - 1) // 2048 AS chunk_last
+FROM o ORDER BY doc_id"""
   )
 }

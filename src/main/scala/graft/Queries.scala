@@ -463,6 +463,17 @@ object Queries {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** Sequence packing (concat-and-chunk training assembly): global token
+    * offsets in doc_id order via the bounded two-level prefix sum, then
+    * each document's first/last 2048-token context chunk. */
+  def sequencePack(s: SparkSession, dir: String): DataFrame =
+    Packing.sequencePack(
+        docs(s, dir).select(col("doc_id"),
+          size(split(lower(col("text")), " ")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", ctxLen = 2048L)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   /** URL normalization as a pre-collapse dedup key. The testdata carries
     * no URL column, so deterministic scheme/www/host-case/trailing-slash/
     * fragment VARIANTS of one address are derived per document and
