@@ -67,6 +67,12 @@ class CatalogStageCheckpoint(spark: SparkSession, namespace: String,
 
   override def isDone(name: String): Boolean = spark.catalog.tableExists(tbl(name))
 
+  // If a stage landed through a store WITHOUT the spec (plain table) and
+  // is later probed through one WITH it, this over-reports — harmless:
+  // leftBucketed consumers only lose the exchange-elision (EnsureRequirements
+  // re-inserts any exchange the actual scan partitioning doesn't satisfy);
+  // results are unaffected. Single-writer stores keep one spec per
+  // namespace, so the situation is a migration corner, not a steady state.
   override def isBucketed(name: String): Boolean =
     bucketSpec(name).isDefined && isDone(name)
 

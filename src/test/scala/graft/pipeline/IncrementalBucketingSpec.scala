@@ -100,4 +100,41 @@ class IncrementalBucketingSpec extends AnyFlatSpec with Matchers with SparkTestB
         .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     } finally spark.sql(s"DROP NAMESPACE IF EXISTS $ns CASCADE")
   }
+
+  it should "stay correct through absorb → union-serving → compaction (full lifecycle)" in {
+    val ns = "graft_bk_life"
+    val loc = Files.createTempDirectory("graft_bk_life").toString
+    try {
+      def store() = new CatalogStageCheckpoint(spark, ns, location = Some(loc),
+        bucketSpec = IncrementalImageDedup.bucketSpec(8))
+      val all = SyntheticImages.generate(spark, 800L).toDF().localCheckpoint()
+      val idNum = expr("cast(substring(image_id, 5) as bigint)")
+      val corpus = all.where(idNum % 20 < 18).localCheckpoint()
+      val d1 = all.where(idNum % 20 === 18).localCheckpoint()
+      val d2 = all.where(idNum % 20 === 19).localCheckpoint()
+      val c0 = ImageDedupPipeline.runDirect(spark, corpus).localCheckpoint()
+
+      val st = store()
+      val out1 = IncrementalImageDedup.run(spark, corpus, c0, d1, st, "L1").localCheckpoint()
+      out1.count()
+      IncrementalImageDedup.absorb(spark, st, "L1") shouldBe 1
+      // generation 1 is a base+delta union — the bucketed fast path is off,
+      // correctness must hold regardless
+      val corpus2 = corpus.unionByName(d1).localCheckpoint()
+      val out2 = IncrementalImageDedup.run(spark, corpus2, out1, d2, store(), "L2")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val full = ImageDedupPipeline.runDirect(spark, corpus2.unionByName(d2))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      out2 shouldBe full
+      // compaction writes the generation-1 full artifacts BUCKETED (the
+      // bucketSpec matches the _g1 names), restoring the fast path
+      IncrementalImageDedup.compactGenerations(store()) shouldBe 1
+      val st3 = store()
+      st3.isBucketed("inc_corpus_bands_g1") shouldBe true
+      // a re-import against the compacted store still matches
+      val out2b = IncrementalImageDedup.run(spark, corpus2, out1, d2, store(), "L3")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      out2b shouldBe full
+    } finally spark.sql(s"DROP NAMESPACE IF EXISTS $ns CASCADE")
+  }
 }
