@@ -52,16 +52,7 @@ object BucketedJoinBench {
       val s = session(cores)
       try {
         val ns = s"graft_bjb_$tag"
-        s.sql(s"DROP NAMESPACE IF EXISTS $ns CASCADE")
-        // a previous JVM's managed-table files survive the in-memory
-        // catalog — remove them physically or create() refuses the location
-        val wh = new java.io.File(
-          s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), s"$ns.db")
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(); ()
-        }
-        rm(wh)
+        BenchUtil.dropNamespacePhysical(s, ns)
         val spec: String => Option[(String, Int)] =
           if (bucketed) IncrementalImageDedup.bucketSpec(buckets) else (_ => None)
         val store = new CatalogStageCheckpoint(s, ns, bucketSpec = spec)

@@ -196,7 +196,7 @@ object IncrementalBench {
                       spec: String => Option[(String, Int)]): Double =
         phase(s"bk-$tag") { s =>
           val ns = s"graft_bench_bk_${tag}_$n"
-          s.sql(s"DROP NAMESPACE IF EXISTS $ns CASCADE")
+          BenchUtil.dropNamespacePhysical(s, ns)
           val (corpus, delta) = split(s.read.parquet(inputPath))
           val prior = s.read.parquet(clustersPath)
           IncrementalImageDedup.run(s, corpus, prior, delta,
@@ -230,8 +230,6 @@ object IncrementalBench {
     spark
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete()
-  }
+  private def deleteRecursively(f: java.io.File): Unit =
+    BenchUtil.deleteRecursively(f)
 }

@@ -787,17 +787,21 @@ FROM st ORDER BY doc_id""",
       """WITH v AS (SELECT doc_id, unnest([
    'https://www.Example' || (doc_id % 7)::VARCHAR || '.COM/docs/' || doc_id::VARCHAR,
    'HTTP://example' || (doc_id % 7)::VARCHAR || '.com/docs/' || doc_id::VARCHAR || '/',
-   'www.Example' || (doc_id % 7)::VARCHAR || '.COM/docs/' || doc_id::VARCHAR || '#frag']) AS url
+   'www.Example' || (doc_id % 7)::VARCHAR || '.COM/docs/' || doc_id::VARCHAR || '#frag',
+   'https://Example' || (doc_id % 7)::VARCHAR || '.COM/docs/' || doc_id::VARCHAR || '/?Ref=X']) AS url
   FROM documents),
  n1 AS (SELECT doc_id, url, regexp_replace(trim(url), '^https?://', '', 'i') AS u FROM v),
  n2 AS (SELECT doc_id, url, regexp_replace(u, '#.*$', '') AS u FROM n1),
  n3 AS (SELECT doc_id, url, regexp_replace(u, '^www\.', '', 'i') AS u FROM n2),
- n4 AS (SELECT doc_id, url, strpos(u, '/') AS cut, u FROM n3),
+ n3b AS (SELECT doc_id, url, regexp_replace(u, '/+\?', '?', 'g') AS u FROM n3),
+ n4 AS (SELECT doc_id, url, strpos(u, '/') AS s, strpos(u, '?') AS q, u FROM n3b),
  n5 AS (SELECT doc_id, url,
+   CASE WHEN s > 0 AND (q = 0 OR s < q) THEN s WHEN q > 0 THEN q ELSE 0 END AS cut, u FROM n4),
+ n6 AS (SELECT doc_id, url,
    CASE WHEN cut > 0 THEN lower(substr(u, 1, cut - 1)) || substr(u, cut)
-        ELSE lower(u) END AS u FROM n4)
+        ELSE lower(u) END AS u FROM n5)
 SELECT doc_id, url, regexp_replace(u, '/+$', '') AS norm_url
-FROM n5 ORDER BY doc_id, url""",
+FROM n6 ORDER BY doc_id, url""",
 
     // corpus-wide exact line dedup: each repeated line keeps only its
     // first (doc_id, pos) occurrence; docs reassembled from survivors.

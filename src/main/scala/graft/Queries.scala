@@ -485,7 +485,8 @@ object Queries {
     val variants = array(
       concat(lit("https://www."), host, path),
       concat(lit("HTTP://"), lower(host), path, lit("/")),
-      concat(lit("www."), host, path, lit("#frag")))
+      concat(lit("www."), host, path, lit("#frag")),
+      concat(lit("https://"), host, path, lit("/?Ref=X")))
     docs(s, dir).select(col("doc_id"), explode(variants).as("url"))
       .withColumn("norm_url", TextAnalysis.normalizeUrl(col("url")))
       .orderBy("doc_id", "url")

@@ -153,19 +153,24 @@ object Sampling {
     // than k have no boundary row → no threshold → keep everything)
     val wK = Window.partitionBy("_st").orderBy("_sk")
       .rowsBetween(Window.unboundedPreceding, -1)
+    // all stratum joins below are NULL-SAFE (<=>): a NULL stratum is a
+    // legitimate group for groupBy and window partitioning, and an
+    // equality join would silently drop its rows from the output — a
+    // divergence from the window formulation (review finding)
     val thr = keyed
       .join(broadcast(boundary),
-        col(stratumCol) === boundary("_st") && col("_bkt") === col("_bb"))
+        col(stratumCol) <=> boundary("_st") && col("_bkt") === col("_bb"))
       .groupBy(col("_st"), col("_sk")).agg(count(lit(1)).as("_kc"))
       .withColumn("_cb", coalesce(sum("_kc").over(wK), lit(0L)))
-      .join(broadcast(boundary.select(col("_st"), col("_need"))), Seq("_st"))
+      .join(broadcast(boundary.select(col("_st").as("_st2"), col("_need"))),
+        col("_st") <=> col("_st2"))
       .where(col("_cb") < col("_need") && col("_cb") + col("_kc") >= col("_need"))
       .select(col("_st"), col("_sk").as("_T"), (col("_need") - col("_cb")).as("_nT"))
 
     // 3. selection: strict-below keeps map-side; ties at T rank by id
     // over only the tied rows (≈ stratum/P of the data)
     val withThr = keyed.join(broadcast(thr),
-      col(stratumCol) === thr("_st"), "left")
+      col(stratumCol) <=> thr("_st"), "left")
     val below = withThr.where(col("_T").isNull || col("_sk") < col("_T"))
     val ties = withThr.where(col("_sk") === col("_T"))
       .withColumn("_tr", row_number().over(
@@ -177,7 +182,7 @@ object Sampling {
     // construction) + position within this bucket's selected rows
     val offsets = cum.select(col("_st"), col("_bkt").as("_ob"), col("_cumBefore"))
     selected
-      .join(offsets, col(stratumCol) === offsets("_st") && col("_bkt") === col("_ob"))
+      .join(offsets, col(stratumCol) <=> offsets("_st") && col("_bkt") === col("_ob"))
       .withColumn("sample_rank", col("_cumBefore") + row_number().over(
         Window.partitionBy(col(stratumCol), col("_bkt"))
           .orderBy(col("_sk"), col(idCol))))

@@ -362,11 +362,20 @@ object TextAnalysis {
     val noScheme = regexp_replace(trim(url), "(?i)^https?://", "")
     val noFrag = regexp_replace(noScheme, "#.*$", "")
     val noWww = regexp_replace(noFrag, "(?i)^www\\.", "")
-    val cut = instr(noWww, "/")
+    // 'host/?q' ≡ 'host?q': slashes directly before a '?' collapse (the
+    // oracle mirrors with the 'g' flag — Spark regexp_replace is
+    // replace-all, DuckDB's default is first-match)
+    val u = regexp_replace(noWww, "/+\\?", "?")
+    // the host ends at the first '/' OR '?' — a query string with no path
+    // ('host?Sort=AZ') is case-significant past the '?' (review finding:
+    // the slash-only cut lowercased whole query strings)
+    val slash = instr(u, "/")
+    val q = instr(u, "?")
+    val cut = when(slash > 0 && (q === 0 || slash < q), slash)
+      .when(q > 0, q).otherwise(lit(0))
     val hostLowered = when(cut > 0,
-        concat(lower(substring_index(noWww, "/", 1)),
-          noWww.substr(cut, length(noWww))))
-      .otherwise(lower(noWww))
+        concat(lower(u.substr(lit(1), cut - 1)), u.substr(cut, length(u))))
+      .otherwise(lower(u))
     regexp_replace(hostLowered, "/+$", "")
   }
 

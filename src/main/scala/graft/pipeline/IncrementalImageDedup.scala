@@ -211,11 +211,23 @@ object IncrementalImageDedup {
       "pruneGenerations requires the per-generation marker stages " +
         "(inc_corpus_gen_g<N>); this store's absorbs predate them — " +
         "re-absorb the next delta first or leave the store unpruned")
-    val baseGen = fullBaseGen(ckpt, "inc_corpus_bands", latest, None).getOrElse(0)
-    val fullSuperseded = (0 until baseGen).flatMap(g =>
-      artifactBases.map(corpusName(_, g)))
-    val deltaSuperseded = (1 to baseGen).flatMap(g =>
-      artifactBases.map(deltaName(_, g)) :+ deltaName("inc_corpus_src", g))
+    // superseded-ness is PER BASE: each artifact resolves its own full
+    // base generation (corpusArtifactAt), so after a compaction that
+    // crashed mid-way (some bases re-based at N, others not) the
+    // not-yet-compacted bases' delta stages are still live and must
+    // survive — a single bands-derived cutoff would drop them and corrupt
+    // the store (review finding). The src intent rows are shared across
+    // bases, so they are reclaimable only below the MINIMUM base.
+    val perBase = artifactBases.map { base =>
+      base -> fullBaseGen(ckpt, base, latest, g0AliasOf(ckpt, base)).getOrElse(0)
+    }
+    val minBase = perBase.map(_._2).min
+    val fullSuperseded = perBase.flatMap { case (base, bg) =>
+      (0 until bg).map(corpusName(base, _))
+    }
+    val deltaSuperseded = perBase.flatMap { case (base, bg) =>
+      (1 to bg).map(deltaName(base, _))
+    } ++ (1 to minBase).map(deltaName("inc_corpus_src", _))
     // only the LATEST fingerprint is ever read (run() verifies against it,
     // absorb composes from it) — all older ones are superseded
     val fprintSuperseded = (0 until latest).map(corpusName("inc_corpus_fprint", _))
@@ -513,15 +525,19 @@ object IncrementalImageDedup {
     import spark.implicits._
     var gen = latestGen(ckpt)
 
-    // no-op re-run: a committed marker already records this import
-    val already = (1 to gen).find { g =>
-      ckpt.isDone(corpusName("inc_corpus_gen", g)) && {
-        val m = served(ckpt, corpusName("inc_corpus_gen", g))
-        m.columns.contains("import_id") &&
-          m.head().getAs[String]("import_id") == importId
-      }
+    // no-op re-run: the LATEST generation's marker recording this import
+    // means its absorb completed (crash after the marker, or a caller
+    // retry) — the overwhelmingly common retry shape, probed O(1).
+    // Re-absorbing an import OLDER than the latest generation is misuse;
+    // it is not probed here (scanning every generation's marker made each
+    // daily absorb pay O(days) driver round-trips — review finding) and
+    // is caught loudly by the next run(): the composed fingerprint's row
+    // count double-counts the duplicated ids and mismatches the corpus.
+    if (gen >= 1 && ckpt.isDone(corpusName("inc_corpus_gen", gen))) {
+      val m = served(ckpt, corpusName("inc_corpus_gen", gen))
+      if (m.columns.contains("import_id") &&
+          m.head().getAs[String]("import_id") == importId) return gen
     }
-    if (already.isDefined) return already.get
 
     def done(n: String): DataFrame = {
       require(ckpt.isDone(n),
@@ -554,8 +570,18 @@ object IncrementalImageDedup {
         s"absorb('$importId'): healed legacy generation $t contains $inHealed of " +
           s"this import's $dCnt delta rows (expected none or all) — store is corrupt")
       val owner = if (inHealed == dCnt) importId else "legacy-unknown"
-      ckpt.stage(corpusName("inc_corpus_gen", t))(
-        Seq((t, owner)).toDF("gen", "import_id"))
+      // heal EVERY marker-less generation up to t, not just t: a
+      // multi-generation legacy store resolved through the annotated
+      // fallback, and once this call commits markers ABOVE the legacy
+      // range, latestGen becomes markers-authoritative — a hole at any
+      // g ≤ t would end the probe chain there and make every later
+      // generation's delta invisible (review finding)
+      (1 to t).foreach { g =>
+        if (!ckpt.isDone(corpusName("inc_corpus_gen", g)))
+          ckpt.stage(corpusName("inc_corpus_gen", g))(
+            Seq((g, if (g == t) owner else "legacy-unknown"))
+              .toDF("gen", "import_id"))
+      }
       gen = t
     }
     if (unmarkedTop.contains(gen) && ckpt.isDone(corpusName("inc_corpus_gen", gen)) &&

@@ -363,6 +363,19 @@ class AnnAndTextSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     Seq((0L, "HTTPS://WWW.Example.COM/")).toDF("id", "url")
       .select(TextAnalysis.normalizeUrl(col("url")))
       .head().getString(0) shouldBe "example.com"
+    // query strings: host cut stops at '?' (query case PRESERVED — tokens
+    // are case-significant), and 'host/?q' collapses with 'host?q'
+    val qs = Seq(
+      (0L, "https://Example.COM?Sort=AZ"),
+      (1L, "https://example.com/?Sort=AZ"),
+      (2L, "WWW.EXAMPLE.COM?Sort=AZ"))
+      .toDF("id", "url").select(TextAnalysis.normalizeUrl(col("url")))
+      .collect().map(_.getString(0)).toSet
+    qs shouldBe Set("example.com?Sort=AZ")
+    // distinct query case stays distinct
+    Seq((0L, "example.com?sort=az")).toDF("id", "url")
+      .select(TextAnalysis.normalizeUrl(col("url")))
+      .head().getString(0) shouldBe "example.com?sort=az"
   }
 
   it should "collapse url-variant near-dups when used as a pre-collapse key" in {

@@ -118,6 +118,23 @@ class SamplingSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     }
   }
 
+  it should "treat a NULL stratum as a real group (null-safe joins)" in {
+    // equality joins would silently drop the NULL-source rows — the window
+    // formulation (and the bounded-heap path) both keep them as a group
+    val df = spark.range(0L, 200L).select(col("id"),
+      when(col("id") % 3L === 0L, lit(null).cast("string"))
+        .otherwise(concat(lit("s"), col("id") % 2L)).as("stratum"))
+    def norm(d: org.apache.spark.sql.DataFrame) =
+      d.select("id", "sample_rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Seq(5L, 40L, 200L).foreach { k =>
+      withClue(s"k=$k") {
+        norm(Sampling.stratifiedTopKByThreshold(df, "id", "stratum", k)) shouldBe
+          norm(Sampling.stratifiedTopKWindow(df, "id", "stratum", k.toInt))
+      }
+    }
+  }
+
   it should "keep whole strata smaller than k, ranked" in {
     val tiny = Seq((1L, 0L), (2L, 0L), (3L, 1L)).toDF("id", "stratum")
     val out = Sampling.stratifiedTopKByThreshold(tiny, "id", "stratum", 10L)

@@ -299,6 +299,54 @@ class IncrementalImageDedupSpec extends AnyFlatSpec with Matchers with SparkTest
     out3 shouldBe full
   }
 
+  it should "heal ALL marker-less generations of a multi-generation legacy store" in {
+    // a 2-generation legacy store (full artifacts at g1 AND g2, no
+    // markers, no delta stages — the pre-marker copy-on-write layout).
+    // Absorbing a NEW import must heal markers for BOTH generations:
+    // healing only the top one leaves a hole at g1, and once markers
+    // become authoritative the probe chain would stop there, making every
+    // later generation's delta invisible (review finding).
+    val dir = java.nio.file.Files.createTempDirectory("inc_heal_multi").toString
+    val d1 = all.where(idNum % 20 === 18).localCheckpoint()
+    val d2 = all.where(idNum % 20 === 19).localCheckpoint()
+    val d3 = SyntheticImages.generate(spark, n + 100L).toDF()
+      .where(idNum >= n).localCheckpoint()
+    val c0 = ImageDedupPipeline.runDirect(spark, corpus).localCheckpoint()
+    val st = new StageCheckpoint(spark, dir)
+    val out1 = IncrementalImageDedup.run(spark, corpus, c0, d1, st, "m1").localCheckpoint()
+    out1.count()
+    IncrementalImageDedup.absorb(spark, st, "m1") shouldBe 1
+    IncrementalImageDedup.compactGenerations(st) shouldBe 1
+    val corpus2 = corpus.unionByName(d1).localCheckpoint()
+    val st2 = new StageCheckpoint(spark, dir)
+    val out2 = IncrementalImageDedup.run(spark, corpus2, out1, d2, st2, "m2").localCheckpoint()
+    out2.count()
+    IncrementalImageDedup.absorb(spark, st2, "m2") shouldBe 2
+    IncrementalImageDedup.compactGenerations(st2) shouldBe 2
+    // strip to the legacy layout: markers and delta stages gone
+    val st3 = new StageCheckpoint(spark, dir)
+    Seq("inc_corpus_gen_g1", "inc_corpus_gen_g2").foreach(st3.dropStage)
+    Seq("annotated", "shingles", "bands", "grams", "phchunks", "src").foreach { b =>
+      Seq(1, 2).foreach(g => st3.dropStage(s"inc_corpus_${b}_d$g"))
+    }
+    IncrementalImageDedup.latestGen(new StageCheckpoint(spark, dir)) shouldBe 2
+
+    // absorb a THIRD (new) import on top of the legacy store
+    val corpus3 = corpus2.unionByName(d2).localCheckpoint()
+    val st4 = new StageCheckpoint(spark, dir)
+    val out3 = IncrementalImageDedup.run(spark, corpus3, out2, d3, st4, "m3").localCheckpoint()
+    out3.count()
+    val bandsBefore = IncrementalImageDedup.corpusBands(st4).count()
+    IncrementalImageDedup.absorb(spark, st4, "m3") shouldBe 3
+    val st5 = new StageCheckpoint(spark, dir)
+    // markers healed for g1 and g2, so the probe chain reaches g3 and the
+    // absorbed delta is visible in the corpus view
+    st5.isDone("inc_corpus_gen_g1") shouldBe true
+    st5.isDone("inc_corpus_gen_g2") shouldBe true
+    IncrementalImageDedup.latestGen(st5) shouldBe 3
+    IncrementalImageDedup.corpusBands(st5).count() should be > bandsBefore
+  }
+
   it should "fail loudly when the passed corpus does not match the staged fingerprint" in {
     val dir = java.nio.file.Files.createTempDirectory("inc_fprint").toString
     val d1 = all.where(idNum % 20 === 18).localCheckpoint()
