@@ -768,6 +768,17 @@ FROM c GROUP BY user_id, session_seq ORDER BY user_id, session_seq""",
   FROM documents)
 SELECT doc_id, source, sample_rank FROM r, k WHERE sample_rank <= k.kk ORDER BY doc_id""",
 
+    // temperature-flattened source mixing (τ=2): keep-rate √(minCnt/n) in
+    // millionths — cast/divide/sqrt/multiply/floor are all correctly-
+    // rounded IEEE ops, so the rate is bit-identical to the Spark side
+    "q59_temperature_mix" ->
+      s"""WITH c AS (SELECT source, count(*)::BIGINT AS cnt FROM documents GROUP BY source),
+ m AS (SELECT min(cnt) AS mc FROM c),
+ r AS (SELECT source, CAST(floor(sqrt(mc::DOUBLE / cnt::DOUBLE) * 1000000.0) AS BIGINT) AS keep_m FROM c, m)
+SELECT doc_id, source FROM documents JOIN r USING (source)
+WHERE (($M * (doc_id % $P) + $LcgAddA) % $P) % 1000000 < keep_m
+ORDER BY doc_id""",
+
     // duplicate-line fraction (Gopher's second repetition signal); the
     // literal separator is the vocabulary word " line " because the
     // synthetic documents carry no newline bytes (operator default "\n")

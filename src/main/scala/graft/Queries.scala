@@ -463,6 +463,14 @@ object Queries {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** Temperature-flattened source mixture (τ = 2): sources downsampled
+    * with probability √(minCnt/n) — between proportional and equal-parts
+    * mixing. Map-side keep decision on the pinned sampling key. */
+  def temperatureMix(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureMix(docs(s, dir), "doc_id", "source")
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+
   /** Sequence packing (concat-and-chunk training assembly): global token
     * offsets in doc_id order via the bounded two-level prefix sum, then
     * each document's first/last 2048-token context chunk. */

@@ -189,6 +189,41 @@ object Sampling {
       .drop("_st", "_ob", "_cumBefore", "_sk", "_bkt")
   }
 
+  /** Temperature-flattened source mixing (τ = 2): every stratum keeps
+    * rows with probability √(minCnt / n_i) — the standard multilingual-
+    * corpus flattening between "proportional to size" (τ=1, no-op) and
+    * "equal parts" ([[balancedMix]], τ=∞): big sources are downsampled
+    * ∝ √n so smaller sources gain relative share without starving the
+    * large ones. Deterministic and layout-independent: the keep decision
+    * is `sampleKey(id) % 10^6 < floor(√(minCnt/n_i)·10^6)` — a map-side
+    * filter against per-stratum rates broadcast from one
+    * count aggregate. No per-task state, no window, no join-back.
+    *
+    * τ is FIXED at 2: the rate arithmetic (cast→divide→sqrt→multiply→
+    * floor) uses only correctly-rounded IEEE-754 operations, so the DuckDB
+    * oracle reproduces it bit-exactly; a general τ needs pow(), which is
+    * not correctly rounded and differs across libm implementations.
+    * Output: the input columns of the selected rows. */
+  def temperatureMix(df: DataFrame, idCol: String, stratumCol: String,
+                     seed: Long = 0L): DataFrame = {
+    require(Set("long", "integer", "short", "byte")
+        .contains(df.schema(idCol).dataType.typeName),
+      s"temperatureMix needs an integral id column, got " +
+        s"${df.schema(idCol).dataType.simpleString} for '$idCol'")
+    val counts = df.groupBy(col(stratumCol).as("_st"))
+      .agg(count(lit(1)).as("_cnt"))
+      .localCheckpoint(false) // consumed by the min aggregate AND the rate join
+    val r = counts.agg(min(col("_cnt"))).head()
+    if (r.isNullAt(0)) return df.limit(0)
+    val minCnt = r.getLong(0)
+    val rates = counts.select(col("_st"),
+      floor(sqrt(lit(minCnt).cast("double") / col("_cnt").cast("double"))
+        * lit(1000000.0)).cast("long").as("_keep_millionths"))
+    df.join(broadcast(rates), col(stratumCol) <=> col("_st"))
+      .where(sampleKey(col(idCol), seed) % 1000000L < col("_keep_millionths"))
+      .drop("_st", "_keep_millionths")
+  }
+
   /** The one-window-per-stratum formulation of [[stratifiedTopK]] — kept as
     * the semantic reference for the property spec (row-identical output);
     * a viral stratum lands whole in one window task here. */

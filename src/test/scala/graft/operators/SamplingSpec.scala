@@ -177,6 +177,30 @@ class SamplingSpec extends AnyFlatSpec with Matchers with SparkTestBase {
       picked.select("id").collect().map(_.getLong(0)).toSet
   }
 
+  "Sampling.temperatureMix" should "flatten stratum shares toward √-proportional, layout-independent" in {
+    // 4000 / 1000 / 250 rows → keep rates √(250/n): 0.25, 0.5, 1.0
+    val df = spark.range(0L, 5250L).select(col("id"),
+      when(col("id") < 4000L, "web").when(col("id") < 5000L, "books")
+        .otherwise("code").as("src"))
+    val picked = Sampling.temperatureMix(df, "id", "src")
+    val sizes = picked.groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes("code") shouldBe 250L            // smallest stratum kept whole
+    sizes("web").toDouble shouldBe (1000.0 +- 60.0)   // ≈ 4000·0.25
+    sizes("books").toDouble shouldBe (500.0 +- 45.0)  // ≈ 1000·0.5
+    // deterministic under any layout
+    val again = Sampling.temperatureMix(df.repartition(13), "id", "src")
+    again.select("id").collect().map(_.getLong(0)).toSet shouldBe
+      picked.select("id").collect().map(_.getLong(0)).toSet
+    // NULL stratum is a real group
+    val withNull = df.withColumn("src",
+      when(col("id") % 7L === 0L, lit(null).cast("string")).otherwise(col("src")))
+    Sampling.temperatureMix(withNull, "id", "src")
+      .where(col("src").isNull).count() should be > 0L
+    // empty input keeps the shape
+    Sampling.temperatureMix(df.limit(0), "id", "src").count() shouldBe 0L
+  }
+
   "BoundedTopKAgg.Heap" should "keep exactly the k smallest pairs under random updates and merges" in {
     val rnd = new scala.util.Random(99)
     (1 to 20).foreach { trial =>
