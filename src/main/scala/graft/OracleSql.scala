@@ -562,6 +562,38 @@ FROM fp ORDER BY audio_id"""
 SELECT query_id, rank, neighbor_id FROM rk WHERE rank <= $AnnTopK ORDER BY query_id, rank"""
     },
 
+    // SemDeDup semantic dedup: q40's unrolled fixed-point Lloyd's chain →
+    // intra-cluster pairs with cosine >= 0.4 → recursive-CTE components →
+    // keeper = member farthest from its own cluster centroid (min ccos,
+    // ties by id). Same cosine division order as the Spark side throughout.
+    "q60_semantic_dedup" -> {
+      val sc = IvfQuantScale
+      s"""WITH RECURSIVE e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+ qz AS (SELECT id, [CAST(round(vec[i+1]::DOUBLE * $sc) AS BIGINT) FOR i IN range(0, len(vec))] AS qvec FROM e),
+ c0 AS (SELECT (row_number() OVER (ORDER BY id) - 1)::BIGINT AS cid,
+   [CAST(x AS FLOAT4) FOR x IN qvec] AS cvec
+  FROM (SELECT id, qvec FROM qz ORDER BY id LIMIT 8)),
+ a1 AS ${ivfAssign("c0")},
+ c1 AS ${ivfUpdate("a1")},
+ a2 AS ${ivfAssign("c1")},
+ c2 AS ${ivfUpdate("a2")},
+ a3 AS ${ivfAssign("c2")},
+ c3 AS ${ivfUpdate("a3")},
+ lists AS ${ivfAssign("c3")},
+ pr AS (SELECT l1.id AS a, l2.id AS b FROM lists l1 JOIN lists l2 ON l1.cid = l2.cid AND l1.id < l2.id),
+ edges AS (SELECT pr.a, pr.b FROM pr JOIN e ea ON ea.id = pr.a JOIN e eb ON eb.id = pr.b
+  WHERE ${cosSql("ea.vec", "eb.vec")} >= 0.4),
+ ed AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+ reach(id, lbl) AS (SELECT a, a FROM ed UNION SELECT ed.b, reach.lbl FROM reach JOIN ed ON ed.a = reach.id),
+ comp AS (SELECT id, min(lbl) AS grp FROM reach GROUP BY id),
+ cc AS (SELECT e.id, COALESCE(comp.grp, e.id) AS group_id, ${cosSql("e.vec", "c.cvec")} AS ccos
+  FROM e LEFT JOIN comp ON comp.id = e.id JOIN lists l ON l.id = e.id JOIN c3 c ON c.cid = l.cid),
+ kp AS (SELECT group_id, id AS keeper FROM (
+   SELECT group_id, id, row_number() OVER (PARTITION BY group_id ORDER BY ccos ASC, id ASC) AS rk FROM cc) WHERE rk = 1)
+SELECT cc.id AS vec_id, cc.group_id, (cc.id = kp.keeper) AS keep
+FROM cc JOIN kp USING (group_id) ORDER BY vec_id"""
+    },
+
     // incremental (master × staging) dedup: verified cross pairs only —
     // a = master (doc_id % 4 <> 0), b = staging (doc_id % 4 = 0)
     "q41_cross_dedup_pairs" ->

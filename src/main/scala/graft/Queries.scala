@@ -278,6 +278,17 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** SemDeDup semantic dedup end-to-end over the embeddings table:
+    * deterministic k-means clusters → intra-cluster cosine ≥ τ pairs →
+    * semantic groups → keep the member farthest from its centroid. τ
+    * pinned to 0.4 (synthetic embeddings' max pairwise cosine is 0.47) and
+    * nlist to 8 so the unrolled-Lloyd's DuckDB oracle (q40's chain)
+    * reproduces the quantizer bit-exactly. */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame =
+    AnnSearch.semanticDedup(vecs(s, dir), tau = 0.4, nlist = 8)
+      .select(col("id").as("vec_id"), col("group_id"), col("keep"))
+      .orderBy("vec_id")
+
   /** Incremental (master × staging) dedup — the reference's dual-input
     * blocking shape (A11): verified near-dup CROSS pairs between a master
     * split and a staging split of documents (staging = doc_id % 4 == 0).

@@ -285,6 +285,59 @@ object AnnSearch {
     rankTopK(cand, corpus, queries, k)
   }
 
+  // ---- SemDeDup: semantic deduplication over the embedding space ------
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embeddings with the
+    * deterministic fixed-point coarse quantizer ([[ivfCentroids]]),
+    * generate candidate pairs ONLY within a cluster, keep pairs with exact
+    * cosine ≥ tau, connect them into semantic-duplicate groups, and mark
+    * one keeper per group — the member FARTHEST from its cluster centroid
+    * (the paper's diversity-preserving choice: the most atypical exemplar
+    * survives; near-dup pairs never straddle clusters by construction, so
+    * every group sits in exactly one cluster and its centroid is
+    * well-defined), ties by lowest id.
+    *
+    * Scale shape: centroids are `nlist` rows and broadcast; the corpus is
+    * scanned once for assignment; quadratic work is confined to
+    * intra-cluster pairs (cluster size ≈ n/nlist — grow nlist with the
+    * corpus to bound it, exactly the paper's lever) and a viral cluster
+    * spreads pair-preservingly through [[SkewSalting.selfJoinPairs]];
+    * group resolution is the iterative large/small-star CC; keeper
+    * selection is a map-side-combining min-struct aggregate + join-back —
+    * no window over a semantic group.
+    *
+    * @param corpus (id, vec: array<float>), integral unique ids
+    * @return (id, group_id, keep): group_id = min id of the semantic
+    *         group (singletons form their own), keep = survives dedup. */
+  def semanticDedup(corpus: DataFrame, tau: Double, nlist: Int = 16,
+                    iters: Int = 3, saltCap: Int = SaltCap,
+                    saltFanout: Int = SaltFanout): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents = ivfCentroids(corpus, nlist, iters)
+    // (id, cid) + distance-to-centroid, reused by edges AND keeper pick;
+    // same cosine division order as assignToCentroids / the oracle
+    val assigned = assignToCentroids(corpus, cents)
+      .join(corpus, "id").join(broadcast(cents), "cid")
+      .select(col("id"), col("cid"),
+        (dot(col("vec"), col("cvec")) / norm(col("vec")) / norm(col("cvec")))
+          .as("ccos"))
+      .localCheckpoint(false)
+    val cand = SkewSalting.selfJoinPairs(
+      assigned.select("cid", "id"), Seq("cid"), "id", saltCap, saltFanout)
+    val edges = verifyCosine(cand, corpus, tau)
+    val comp = ConnectedComponents.run(spark, edges,
+      nodes = Some(corpus.select("id")))
+    val memb = comp.withColumnRenamed("cluster_id", "group_id")
+      .join(assigned.select("id", "ccos"), "id")
+    val keepers = memb.groupBy("group_id")
+      .agg(min(struct(col("ccos"), col("id"))).as("kp"))
+      .select(col("group_id"), col("kp")("id").as("_keeper"))
+    memb.join(keepers, "group_id")
+      .select(col("id"), col("group_id"),
+        (col("id") === col("_keeper")).as("keep"))
+  }
+
   /** Exact-cosine scoring + per-query top-k of candidate pairs. Norms once
     * per vector (same division order as the inline cosine — bit-identical
     * doubles, fewer flops per candidate); the query side broadcasts. */

@@ -394,4 +394,60 @@ class AnnAndTextSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     collapsed("site.com/page/1") shouldBe ((3L, 1L))
     collapsed("site.com/page/2") shouldBe ((1L, 4L))
   }
+
+  "AnnSearch.semanticDedup" should "match a plain-Scala union-find reference and keep the farthest-from-centroid member" in {
+    // planted corpus: 3 tight groups around orthogonal directions (+ small
+    // noise, within-group cosine ≈ 0.999) and 10 scattered loners
+    val rnd = new scala.util.Random(7)
+    val bases = Seq(0, 3, 6).map(d => Array.tabulate(8)(i => if (i == d) 1f else 0f))
+    val planted = for {
+      (b, gi) <- bases.zipWithIndex
+      _ <- 0 until (6 - gi)
+    } yield b.map(x => x + (rnd.nextFloat() - 0.5f) * 0.08f).toSeq
+    val loners = Seq.fill(10)(Array.fill(8)(rnd.nextFloat() * 2f - 1f).toSeq)
+    val rows = (planted ++ loners).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val df = rows.toDF("id", "vec")
+    val tau = 0.9
+
+    val out = AnnSearch.semanticDedup(df, tau, nlist = 3, iters = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+
+    // independent reference: same deterministic quantizer output, then a
+    // plain-Scala cosine graph + union-find + keeper pick (identical
+    // arithmetic: left-fold dot in index order, dot/√/√ division order)
+    def dotS(a: collection.Seq[Float], b: collection.Seq[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    def cosS(a: collection.Seq[Float], b: collection.Seq[Float]): Double =
+      dotS(a, b) / math.sqrt(dotS(a, a)) / math.sqrt(dotS(b, b))
+    val cents = AnnSearch.ivfCentroids(df, nlist = 3, iters = 2)
+    val cvecs = cents.collect()
+      .map(r => r.getAs[Long]("cid") -> r.getAs[collection.Seq[Float]]("cvec")).toMap
+    val cid = AnnSearch.assignToCentroids(df, cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vec = rows.toMap
+    val ids = rows.map(_._1)
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for (a <- ids; b <- ids if a < b && cid(a) == cid(b) && cosS(vec(a), vec(b)) >= tau) {
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val groups = ids.groupBy(find)
+    val expected = groups.flatMap { case (root, members) =>
+      val keeper = members.minBy(i => (cosS(vec(i), cvecs(cid(i))), i))
+      members.map(i => i -> ((root, i == keeper)))
+    }
+    out shouldBe expected
+
+    // deterministic under any layout
+    val again = AnnSearch.semanticDedup(df.repartition(7), tau, nlist = 3, iters = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    again shouldBe out
+
+    // structural invariants: one keeper per group; planted groups survive as
+    // non-trivial duplicate groups (at least one multi-member group exists)
+    out.groupBy(_._2._1).foreach { case (_, m) => m.count(_._2._2) shouldBe 1 }
+    out.groupBy(_._2._1).count(_._2.size > 1) should be >= 2
+  }
 }
