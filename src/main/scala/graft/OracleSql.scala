@@ -863,6 +863,16 @@ FROM n6 ORDER BY doc_id, url""",
 SELECT doc_id, text, n_kept, (n_total - n_kept)::BIGINT AS n_dropped
 FROM agg WHERE n_kept > 0 ORDER BY doc_id""",
 
+    // C4-style line cleaning: keep lines with >= 3 non-empty whitespace
+    // words whose lowercase form contains neither boilerplate substring;
+    // reassemble. Every doc emits (empty text when all lines drop).
+    "q61_clean_lines" ->
+      """WITH sp AS (SELECT doc_id, [x FOR x IN [trim(p) FOR p IN string_split(text, ' line ')] IF len(x) > 0] AS l FROM documents),
+ k AS (SELECT doc_id, l, [x FOR x IN l IF len([w FOR w IN string_split(x, ' ') IF len(w) > 0]) >= 3
+   AND position('lorem ipsum' IN lower(x)) = 0 AND position('dup' IN lower(x)) = 0] AS kp FROM sp)
+SELECT doc_id, COALESCE(array_to_string(kp, ' line '), '') AS text, len(kp)::BIGINT AS n_kept,
+ (len(l) - len(kp))::BIGINT AS n_dropped FROM k ORDER BY doc_id""",
+
     // sequence packing: running token offsets in doc_id order → first/last
     // 2048-token context chunk per doc. The single global window here is
     // oracle-side only — the Spark plan is the bounded two-level prefix sum

@@ -474,6 +474,18 @@ object Queries {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** C4-style line cleaning: keep lines with ≥ 3 words whose lowercase
+    * form avoids the boilerplate substrings, reassemble documents from
+    * survivors. Same " line " separator convention as q55; "dup" is a
+    * substring that actually occurs in the synthetic vocabulary, so the
+    * bad-phrase gate fires on this data (terminal-punctuation gate is
+    * exercised in the spec — the synthetic docs carry no punctuation). */
+  def cleanLinesQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.cleanLines(docs(s, dir), "doc_id", "text", sep = " line ",
+        minWords = 3, badSubstrings = Seq("lorem ipsum", "dup"))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   /** Temperature-flattened source mixture (τ = 2): sources downsampled
     * with probability √(minCnt/n) — between proportional and equal-parts
     * mixing. Map-side keep decision on the pinned sampling key. */

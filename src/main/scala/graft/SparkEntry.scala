@@ -70,7 +70,8 @@ object SparkEntry {
     "q57_dedup_lines_corpus" -> (Queries.dedupLinesCorpus(_, _)),
     "q58_sequence_pack" -> (Queries.sequencePack(_, _)),
     "q59_temperature_mix" -> (Queries.temperatureMix(_, _)),
-    "q60_semantic_dedup" -> (Queries.semanticDedup(_, _))
+    "q60_semantic_dedup" -> (Queries.semanticDedup(_, _)),
+    "q61_clean_lines" -> (Queries.cleanLinesQ(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

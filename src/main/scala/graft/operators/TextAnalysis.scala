@@ -348,6 +348,50 @@ object TextAnalysis {
       (col("n_total") - col("n_kept")).cast("long").as("n_dropped"))
   }
 
+  /** C4-style LINE cleaning (Raffel et al. 2020 §2.2: the public C4
+    * pipeline retains only lines that look like natural sentences —
+    * minimum word count, no boilerplate phrases, optionally terminal
+    * punctuation — and reassembles the page from survivors). A line is
+    * KEPT iff
+    *   - it has ≥ `minWords` whitespace words, AND
+    *   - its lowercase form contains NONE of `badSubstrings`, AND
+    *   - (when `requireTerminal`) its last character is one of `.!?"`.
+    * Lines = text split on the LITERAL `sep`, trimmed, empties dropped
+    * (the [[dupLineStats]] convention, same cross-engine trim semantics).
+    * Every input document emits a row — a fully-boilerplate page comes
+    * back with empty text and n_kept = 0, so the caller decides the
+    * document-level cut.
+    *
+    * Output: (id, text, n_kept, n_dropped) — `text` rejoined with `sep`.
+    *
+    * Pure per-row string/array expressions — map-side at any corpus size,
+    * no shuffle, no join, no state. */
+  def cleanLines(df: DataFrame, idCol: String, textCol: String,
+                 sep: String = "\n", minWords: Int = 3,
+                 badSubstrings: Seq[String] =
+                   Seq("lorem ipsum", "javascript", "cookie policy"),
+                 requireTerminal: Boolean = false): DataFrame = {
+    require(badSubstrings.forall(b => b.nonEmpty && b == b.toLowerCase),
+      "badSubstrings must be non-empty and lowercase (matched against lower(line))")
+    val pieces = split(col(textCol), java.util.regex.Pattern.quote(sep), -1)
+    val lines = filter(transform(pieces, p => trim(p)), p => length(p) > 0)
+    def keep(l: Column): Column = {
+      val words = size(filter(split(l, " ", -1), w => length(w) > 0)) >= minWords
+      val clean = badSubstrings.map(b => instr(lower(l), b) === 0)
+        .reduce(_ && _)
+      val terminal =
+        if (requireTerminal) substring(l, -1, 1).isin(".", "!", "?", "\"")
+        else lit(true)
+      words && clean && terminal
+    }
+    df.select(col(idCol).as("id"), lines.as("_l"))
+      .select(col("id"), filter(col("_l"), keep _).as("_k"), size(col("_l")).as("_n"))
+      .select(col("id"),
+        array_join(col("_k"), sep).as("text"),
+        size(col("_k")).cast("long").as("n_kept"),
+        (col("_n") - size(col("_k"))).cast("long").as("n_dropped"))
+  }
+
   /** URL normalization (A7 family: the reference normalizes property
     * values per source during import — R:.../datalake/
     * DataLakeImportImplementation.scala; a web-corpus pipeline normalizes

@@ -343,6 +343,33 @@ class AnnAndTextSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     rows.map(_.getAs[Long]("n_kept")).sum shouldBe 20001L
   }
 
+  "cleanLines" should "apply the C4 gates (word count, boilerplate phrase, terminal punctuation) per line" in {
+    val d = Seq(
+      (1L, "This is a proper sentence.\nok\nEnable JavaScript to continue!\nAnother good long line here."),
+      (2L, "lorem ipsum dolor sit amet\nshort one\n"),
+      (3L, "  \n \n"), // all blank → emits with empty text
+      (4L, "no punctuation but five words\nAccept our cookie policy now.")
+    ).toDF("doc_id", "text")
+    // default gates: minWords 3, boilerplate substrings, no terminal gate
+    val out = TextAnalysis.cleanLines(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getAs[Long]("n_dropped")))).toMap
+    out(1L) shouldBe (("This is a proper sentence.\nAnother good long line here.", 2L, 2L))
+    out(2L) shouldBe (("", 0L, 2L)) // lorem ipsum + under 3 words
+    out(3L) shouldBe (("", 0L, 0L)) // blank lines never counted
+    out(4L) shouldBe (("no punctuation but five words", 1L, 1L))
+    // terminal-punctuation gate on: doc 4's unpunctuated line drops too
+    val strict = TextAnalysis.cleanLines(d, "doc_id", "text", requireTerminal = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    strict(4L) shouldBe 0L
+    strict(1L) shouldBe 2L
+    // pure map-side plan: no shuffle, no join, no window
+    val plan = TextAnalysis.cleanLines(d, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+    plan should not include "Window"
+  }
+
   "normalizeUrl" should "collapse scheme/www/case/slash/fragment variants to one key" in {
     val variants = Seq(
       "https://www.Example.COM/Docs/A",
