@@ -873,6 +873,18 @@ FROM agg WHERE n_kept > 0 ORDER BY doc_id""",
 SELECT doc_id, COALESCE(array_to_string(kp, ' line '), '') AS text, len(kp)::BIGINT AS n_kept,
  (len(l) - len(kp))::BIGINT AS n_dropped FROM k ORDER BY doc_id""",
 
+    // vocabulary coverage: top-20 corpus tokens (count desc, token asc),
+    // per-doc OOV share in millionths-free exact integer millis
+    "q62_vocab_coverage" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS token FROM documents),
+ tc AS (SELECT token, count(*)::BIGINT AS cnt FROM tok GROUP BY token),
+ v AS (SELECT token FROM tc ORDER BY cnt DESC, token LIMIT 20),
+ per AS (SELECT tok.doc_id, count(*)::BIGINT AS n_tokens,
+   sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
+  FROM tok LEFT JOIN v ON tok.token = v.token GROUP BY tok.doc_id)
+SELECT doc_id, n_tokens, n_oov, (n_oov * 1000) // n_tokens AS oov_millis
+FROM per ORDER BY doc_id""",
+
     // sequence packing: running token offsets in doc_id order → first/last
     // 2048-token context chunk per doc. The single global window here is
     // oracle-side only — the Spark plan is the bounded two-level prefix sum

@@ -486,6 +486,14 @@ object Queries {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** Vocabulary coverage: top-20 corpus vocabulary (the synthetic corpus
+    * has ~40 distinct words, so 20 keeps the OOV rate non-degenerate) and
+    * each document's out-of-vocab token share. */
+  def vocabCoverageQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabCoverage(docs(s, dir), "doc_id", "text", vocabSize = 20)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   /** Temperature-flattened source mixture (τ = 2): sources downsampled
     * with probability √(minCnt/n) — between proportional and equal-parts
     * mixing. Map-side keep decision on the pinned sampling key. */

@@ -71,7 +71,8 @@ object SparkEntry {
     "q58_sequence_pack" -> (Queries.sequencePack(_, _)),
     "q59_temperature_mix" -> (Queries.temperatureMix(_, _)),
     "q60_semantic_dedup" -> (Queries.semanticDedup(_, _)),
-    "q61_clean_lines" -> (Queries.cleanLinesQ(_, _))
+    "q61_clean_lines" -> (Queries.cleanLinesQ(_, _)),
+    "q62_vocab_coverage" -> (Queries.vocabCoverageQ(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -392,6 +392,35 @@ object TextAnalysis {
         (col("_n") - size(col("_k"))).cast("long").as("n_dropped"))
   }
 
+  /** Vocabulary build + out-of-vocabulary coverage — the tokenizer-
+    * coverage signal a training pipeline tracks before committing to a
+    * vocab: vocab = the `vocabSize` most frequent whitespace tokens over
+    * the whole corpus (count desc, ties by token string — deterministic),
+    * then per document the token count and how many tokens fall outside
+    * the vocab (oov_millis = n_oov·1000 div n_tokens, the exact-integer
+    * cross-engine convention).
+    *
+    * Scale shape: corpus token counts are one map-side-combining groupBy;
+    * top-V selection compiles to TakeOrderedAndProject (every task keeps
+    * its OWN top V — bounded state — and the driver merges V·tasks rows;
+    * V is a vocabulary size, ~32k, a constant — not a data-sized k); the
+    * per-doc leg joins exploded tokens against the BROADCAST vocab and
+    * re-aggregates by doc map-side — the corpus is never shuffled by
+    * token on that leg. */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+                    vocabSize: Int): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      explode(graft.functions.TextHash.tokens(col(textCol))).as("token"))
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("_cnt"))
+      .orderBy(col("_cnt").desc, col("token")).limit(vocabSize)
+      .select(col("token"), lit(true).as("_inv"))
+    tok.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_millis", expr("(n_oov * 1000) div n_tokens"))
+  }
+
   /** URL normalization (A7 family: the reference normalizes property
     * values per source during import — R:.../datalake/
     * DataLakeImportImplementation.scala; a web-corpus pipeline normalizes

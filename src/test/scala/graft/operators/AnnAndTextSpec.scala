@@ -370,6 +370,31 @@ class AnnAndTextSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     plan should not include "Window"
   }
 
+  "vocabCoverage" should "build the top-V vocab deterministically and score per-doc OOV share" in {
+    val d = Seq(
+      (1L, "a a a b b c"),
+      (2L, "a b x y"),
+      (3L, "") // empty text → one '' token
+    ).toDF("doc_id", "text")
+    // corpus counts: a=4, b=3, c=1, x=1, y=1, ''=1 → V=2 vocab {a, b}
+    val out = TextAnalysis.vocabCoverage(d, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getAs[Long]("oov_millis")))).toMap
+    out(1L) shouldBe ((6L, 1L, 166L))
+    out(2L) shouldBe ((4L, 2L, 500L))
+    out(3L) shouldBe ((1L, 1L, 1000L))
+    // count-1 tie broken by token string: V=3 admits '' (sorts first)
+    TextAnalysis.vocabCoverage(d, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("oov_millis")).toMap
+      .apply(3L) shouldBe 0L
+    // top-V must compile to the bounded per-task TakeOrdered (each task
+    // keeps V rows), never a global sort of the token-count table
+    val plan = TextAnalysis.vocabCoverage(d, "doc_id", "text", 2)
+      .queryExecution.executedPlan.toString
+    plan should include("TakeOrderedAndProject")
+    plan should not include "Sort [_cnt"
+  }
+
   "normalizeUrl" should "collapse scheme/www/case/slash/fragment variants to one key" in {
     val variants = Seq(
       "https://www.Example.COM/Docs/A",
