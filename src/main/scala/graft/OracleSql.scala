@@ -873,6 +873,68 @@ FROM agg WHERE n_kept > 0 ORDER BY doc_id""",
 SELECT doc_id, COALESCE(array_to_string(kp, ' line '), '') AS text, len(kp)::BIGINT AS n_kept,
  (len(l) - len(kp))::BIGINT AS n_dropped FROM k ORDER BY doc_id""",
 
+    // exact substring-span dedup (ExactSubstr as l-gram cover): tokens
+    // covered by a non-first occurrence of their 8-gram drop; winner =
+    // (doc_id, pos) order over equal gram STRINGS
+    "q63_dedup_spans" ->
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS toks FROM documents),
+ g0 AS (SELECT doc_id, unnest([{'pos': i, 'gram': array_to_string(toks[i+1:i+$L],' ')} FOR i IN range(0, len(toks)-${L - 1})]) AS e FROM t WHERE len(toks) >= $L),
+ g AS (SELECT doc_id, e.pos AS pos, e.gram AS gram FROM g0),
+ w AS (SELECT doc_id, pos, row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rk FROM g),
+ cov AS (SELECT DISTINCT doc_id, pos + d AS rpos FROM w, unnest(range(0,$L)) AS v(d) WHERE rk > 1),
+ ex0 AS (SELECT doc_id, unnest([{'pos': i, 'tok': toks[i+1]} FOR i IN range(0, len(toks))]) AS e FROM t),
+ ex AS (SELECT doc_id, e.pos AS pos, e.tok AS tok FROM ex0),
+ j AS (SELECT ex.doc_id, ex.pos, ex.tok, cov.rpos FROM ex LEFT JOIN cov ON cov.doc_id = ex.doc_id AND cov.rpos = ex.pos),
+ agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+   COALESCE(string_agg(CASE WHEN rpos IS NULL THEN tok END, ' ' ORDER BY pos), '') AS text,
+   sum(CASE WHEN rpos IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_removed
+  FROM j GROUP BY doc_id)
+SELECT doc_id, text, n_tokens, n_removed FROM agg ORDER BY doc_id""",
+
+    // Gopher quality-rule gate: exact-integer ratio thresholds; the CASE
+    // variants are shared verbatim with Queries.GopherBullets/Ellipses/
+    // Symbols; '//' = integer div (the '...' count is always a multiple
+    // of 3 on both engines — left-to-right non-overlapping replace)
+    "q64_gopher_rules" ->
+      """WITH v AS (SELECT doc_id, CASE doc_id % 4
+   WHEN 0 THEN text || ' line - one line - two line - three line - four line - five line - six line - seven line - eight line - nine line - ten'
+   WHEN 1 THEN text || ' line so it goes... line wait for it... line more soon... line to be continued... line really... line okay...'
+   WHEN 2 THEN text || ' ##### ##### #####'
+   ELSE text END AS text FROM documents),
+ w AS (SELECT doc_id,
+   [x FOR x IN string_split(lower(text),' ') IF x <> ''] AS toks,
+   [trim(x) FOR x IN string_split(text,' line ') IF trim(x) <> ''] AS ls,
+   (length(text)-length(replace(text,'#','')))::BIGINT
+     + ((length(text)-length(replace(text,'...',''))) // 3)::BIGINT AS n_sym
+  FROM v),
+ m AS (SELECT doc_id,
+   len(toks)::BIGINT AS n_words,
+   COALESCE(list_sum([length(t) FOR t IN toks]), 0)::BIGINT AS sum_wlen,
+   len([t FOR t IN toks IF regexp_matches(t,'[a-z]')])::BIGINT AS n_alpha,
+   (CASE WHEN list_contains(toks,'the') THEN 1 ELSE 0 END
+    + CASE WHEN list_contains(toks,'a') THEN 1 ELSE 0 END
+    + CASE WHEN list_contains(toks,'data') THEN 1 ELSE 0 END
+    + CASE WHEN list_contains(toks,'key') THEN 1 ELSE 0 END
+    + CASE WHEN list_contains(toks,'table') THEN 1 ELSE 0 END
+    + CASE WHEN list_contains(toks,'join') THEN 1 ELSE 0 END)::BIGINT AS n_stop,
+   n_sym,
+   len(ls)::BIGINT AS n_lines,
+   len([l FOR l IN ls IF left(l,2) IN ('- ','* ')])::BIGINT AS n_bullet,
+   len([l FOR l IN ls IF right(l,3) = '...'])::BIGINT AS n_ell
+  FROM w)
+SELECT doc_id, n_words, n_lines,
+ (n_words BETWEEN 20 AND 1000) AS wordcount_ok,
+ (3*n_words <= sum_wlen AND sum_wlen <= 10*n_words) AS mean_len_ok,
+ (10*n_sym <= n_words) AS symbol_ok,
+ (10*n_bullet <= 9*n_lines) AS bullet_ok,
+ (10*n_ell <= 3*n_lines) AS ellipsis_ok,
+ (5*n_alpha >= 4*n_words) AS alpha_ok,
+ (n_stop >= 4) AS stopword_ok,
+ ((n_words BETWEEN 20 AND 1000) AND (3*n_words <= sum_wlen AND sum_wlen <= 10*n_words)
+  AND (10*n_sym <= n_words) AND (10*n_bullet <= 9*n_lines)
+  AND (10*n_ell <= 3*n_lines) AND (5*n_alpha >= 4*n_words) AND (n_stop >= 4)) AS keep
+FROM m ORDER BY doc_id""",
+
     // vocabulary coverage: top-20 corpus tokens (count desc, token asc),
     // per-doc OOV share in millionths-free exact integer millis
     "q62_vocab_coverage" ->

@@ -486,6 +486,49 @@ object Queries {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** Exact substring-span dedup (Lee et al. 2022 ExactSubstr as the
+    * l-gram cover, l = GoldenConfig.SubstringL = 8): every duplicated run
+    * of ≥ 8 tokens is removed from all but its first corpus occurrence
+    * and documents are reassembled from the surviving tokens. The
+    * testdata plants shared caption runs (q27's suffix-array pairs are
+    * non-empty on it), so the operator is non-degenerate here. */
+  def dedupSpansQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dedupSpansAcrossCorpus(docs(s, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  /** The pinned synthetic variants that make every Gopher rule fire
+    * variably on the punctuation-free testdata: doc_id mod 4 = 0 appends
+    * ten bullet lines, 1 appends six ellipsis-terminated lines, 2 appends
+    * fifteen '#' symbols, 3 is untouched. Shared verbatim with the DuckDB
+    * oracle (same CASE). */
+  private[graft] val GopherBullets: String =
+    " line - one line - two line - three line - four line - five" +
+      " line - six line - seven line - eight line - nine line - ten"
+  private[graft] val GopherEllipses: String =
+    " line so it goes... line wait for it... line more soon..." +
+      " line to be continued... line really... line okay..."
+  private[graft] val GopherSymbols: String = " ##### ##### #####"
+
+  /** Gopher-rule quality gate over the documents table. Same " line "
+    * separator convention as q55; the required-stopword set is adapted to
+    * the synthetic vocabulary ('and'/'of'/… never occur in it — q62's
+    * corpus-vocab evidence), and deterministic per-doc variants (above)
+    * exercise the bullet/ellipsis/symbol rules the raw data cannot. */
+  def gopherRulesQ(s: SparkSession, dir: String): DataFrame = {
+    val varied = docs(s, dir).withColumn("text",
+      when(pmod(col("doc_id"), lit(4)) === 0, concat(col("text"), lit(GopherBullets)))
+        .when(pmod(col("doc_id"), lit(4)) === 1, concat(col("text"), lit(GopherEllipses)))
+        .when(pmod(col("doc_id"), lit(4)) === 2, concat(col("text"), lit(GopherSymbols)))
+        .otherwise(col("text")))
+    TextAnalysis.gopherRules(varied, "doc_id", "text", sep = " line ",
+        minWords = 20, maxWords = 1000,
+        requiredStopwords = Seq("the", "a", "data", "key", "table", "join"),
+        minStop = 4)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** Vocabulary coverage: top-20 corpus vocabulary (the synthetic corpus
     * has ~40 distinct words, so 20 keeps the OOV rate non-degenerate) and
     * each document's out-of-vocab token share. */

@@ -72,7 +72,9 @@ object SparkEntry {
     "q59_temperature_mix" -> (Queries.temperatureMix(_, _)),
     "q60_semantic_dedup" -> (Queries.semanticDedup(_, _)),
     "q61_clean_lines" -> (Queries.cleanLinesQ(_, _)),
-    "q62_vocab_coverage" -> (Queries.vocabCoverageQ(_, _))
+    "q62_vocab_coverage" -> (Queries.vocabCoverageQ(_, _)),
+    "q63_dedup_spans" -> (Queries.dedupSpansQ(_, _)),
+    "q64_gopher_rules" -> (Queries.gopherRulesQ(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

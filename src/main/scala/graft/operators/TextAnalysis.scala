@@ -392,6 +392,130 @@ object TextAnalysis {
         (col("_n") - size(col("_k"))).cast("long").as("n_dropped"))
   }
 
+  /** Gopher/MassiveText document-quality rule gate (Rae et al. 2021,
+    * "Scaling Language Models: Methods, Analysis & Insights from Training
+    * Gopher", arXiv:2112.11446, Table A1 — the standard pre-training
+    * quality filter battery), in the engine's exact-integer cross-engine
+    * formulation (every ratio threshold is an integer inequality, so the
+    * DuckDB oracle hash-matches bit-for-bit, no float division anywhere):
+    *
+    *   - word count in [minWords, maxWords]           (Gopher: 50..100k)
+    *   - mean word length in [3, 10] chars            (3n ≤ Σlen ≤ 10n)
+    *   - symbol-to-word ratio ≤ 0.1 ('#' + '…'-as-'...')  (10·sym ≤ n)
+    *   - ≤ 90% of lines start with a bullet ('- '/'* ')   (10·b ≤ 9·L)
+    *   - ≤ 30% of lines end in an ellipsis '...'          (10·e ≤ 3·L)
+    *   - ≥ 80% of words contain an alphabetic char        (5·a ≥ 4·n)
+    *   - ≥ minStop distinct required stopwords present
+    *
+    * Words = non-empty lowercase space tokens; lines = the text split on
+    * the LITERAL `sep`, trimmed, empties dropped (the [[dupLineStats]]
+    * convention). Zero-word / zero-line documents pass the vacuous ratio
+    * rules (0 ≤ 0) and fail the word-count floor, mirroring the paper's
+    * remove-empty behavior. Emits the metric columns, one boolean per
+    * rule, and the conjunction `keep` — the caller cuts on `keep` or
+    * re-weighs individual rules.
+    *
+    * Pure per-row string/array expressions — map-side at any corpus size,
+    * no shuffle, no join, no UDF; the whole gate rides one
+    * WholeStageCodegen span over the scan. */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  sep: String = "\n", minWords: Int = 50,
+                  maxWords: Int = 100000,
+                  requiredStopwords: Seq[String] =
+                    Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+                  minStop: Int = 2): DataFrame = {
+    require(requiredStopwords.nonEmpty &&
+      requiredStopwords.forall(w => w.nonEmpty && w == w.toLowerCase),
+      "requiredStopwords must be non-empty lowercase words")
+    val words = filter(split(lower(col(textCol)), " ", -1), w => length(w) > 0)
+    val pieces = split(col(textCol), java.util.regex.Pattern.quote(sep), -1)
+    val lines = filter(transform(pieces, p => trim(p)), p => length(p) > 0)
+    val nSym = (countOcc(col(textCol), "#") +
+      countOcc(col(textCol), "...")).cast("long")
+    val nStop = requiredStopwords
+      .map(w => when(array_contains(words, w), 1L).otherwise(0L))
+      .reduce(_ + _)
+    df.select(col(idCol).as("id"), words.as("_w"), lines.as("_l"),
+        nSym.as("_sym"), nStop.as("_stop"))
+      .select(col("id"),
+        size(col("_w")).cast("long").as("n_words"),
+        coalesce(aggregate(col("_w"), lit(0L), (s, w) => s + length(w)),
+          lit(0L)).as("_sumlen"),
+        size(filter(col("_w"), w => w.rlike("[a-z]"))).cast("long").as("_alpha"),
+        size(col("_l")).cast("long").as("n_lines"),
+        size(filter(col("_l"), l =>
+          substring(l, 1, 2).isin("- ", "* "))).cast("long").as("_bullet"),
+        size(filter(col("_l"), l =>
+          substring(l, -3, 3) === "...")).cast("long").as("_ell"),
+        col("_sym"), col("_stop"))
+      .select(col("id"), col("n_words"), col("n_lines"),
+        col("n_words").between(minWords.toLong, maxWords.toLong).as("wordcount_ok"),
+        (lit(3L) * col("n_words") <= col("_sumlen") &&
+          col("_sumlen") <= lit(10L) * col("n_words")).as("mean_len_ok"),
+        (lit(10L) * col("_sym") <= col("n_words")).as("symbol_ok"),
+        (lit(10L) * col("_bullet") <= lit(9L) * col("n_lines")).as("bullet_ok"),
+        (lit(10L) * col("_ell") <= lit(3L) * col("n_lines")).as("ellipsis_ok"),
+        (lit(5L) * col("_alpha") >= lit(4L) * col("n_words")).as("alpha_ok"),
+        (col("_stop") >= minStop.toLong).as("stopword_ok"))
+      .withColumn("keep",
+        col("wordcount_ok") && col("mean_len_ok") && col("symbol_ok") &&
+          col("bullet_ok") && col("ellipsis_ok") && col("alpha_ok") &&
+          col("stopword_ok"))
+  }
+
+  /** Corpus-wide exact substring-SPAN dedup (the ExactSubstr operation of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499 — remove every duplicated token run of
+    * ≥ `l` tokens from all but its first corpus occurrence), formulated as
+    * an l-gram cover: a duplicated run of length ≥ l is exactly the union
+    * of its l-grams, each of which is a non-first occurrence of that gram
+    * value, so dropping every token covered by a non-first l-gram
+    * occurrence removes precisely the duplicated runs (runs < l survive).
+    * First occurrence = min (doc_id, pos) over occurrences of the same
+    * gram STRING (grouped by rolling hash AND the gram text — a hash
+    * collision can never remove a token). Documents are reassembled from
+    * surviving tokens in order; every document emits a row.
+    *
+    * Output: (id, text, n_tokens, n_removed).
+    *
+    * Scale shape: gram explosion and coverage expansion are linear (×l) in
+    * corpus tokens; first-occurrence selection is a map-side-combining
+    * groupBy min-struct — a boilerplate gram repeated 10^9 times
+    * contributes one partial row per map task, never a window; the
+    * join-back is an equi-join on (hash, gram) that AQE can split; the
+    * removed-position set and the reassembly filter are bounded by a
+    * single document's token count. */
+  def dedupSpansAcrossCorpus(df: DataFrame, idCol: String, textCol: String,
+                             l: Int = SubstringL): DataFrame = {
+    val toked = df.select(col(idCol).as("id"),
+        graft.functions.TextHash.tokens(col(textCol)).as("t"))
+      .localCheckpoint(false) // consumed by the gram leg AND the reassembly
+    val grams = toked.where(size(col("t")) >= l)
+      .select(col("id"), col("t"),
+        posexplode(graft.functions.GraftExpressions.gramHashes(col("t"), l)))
+      .select(col("id"), col("pos"), col("col").as("gh"),
+        concat_ws(" ", slice(col("t"), col("pos") + 1, lit(l))).as("gram"))
+      .localCheckpoint(false) // winner agg AND non-first filter
+    val winners = grams.groupBy("gh", "gram")
+      .agg(min(struct(col("id"), col("pos"))).as("first"))
+      .select(col("gh"), col("gram"),
+        col("first")("id").as("_wid"), col("first")("pos").as("_wpos"))
+    val covered = grams.join(winners, Seq("gh", "gram"))
+      .where(!(col("id") === col("_wid") && col("pos") === col("_wpos")))
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + lit(l - 1))).as("rpos"))
+      .groupBy("id").agg(collect_set(col("rpos")).as("_rm"))
+    val rm = coalesce(col("_rm"), array().cast("array<int>"))
+    val indexed = transform(col("t"),
+      (tok, i) => struct(i.cast("int").as("p"), tok.as("tok")))
+    val kept = filter(indexed, s => !array_contains(rm, s("p")))
+    toked.join(covered, Seq("id"), "left")
+      .select(col("id"),
+        array_join(transform(kept, s => s("tok")), " ").as("text"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(rm).cast("long").as("n_removed"))
+  }
+
   /** Vocabulary build + out-of-vocabulary coverage — the tokenizer-
     * coverage signal a training pipeline tracks before committing to a
     * vocab: vocab = the `vocabSize` most frequent whitespace tokens over

@@ -370,6 +370,62 @@ class AnnAndTextSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     plan should not include "Window"
   }
 
+  "dedupSpansAcrossCorpus" should "remove duplicated >=l-token runs from all but the first occurrence" in {
+    val run10 = (1 to 10).map(i => s"r$i").mkString(" ")
+    val d = Seq(
+      (1L, s"$run10 tailone tailtwo"),                 // first occurrence — untouched
+      (2L, s"head1 head2 $run10"),                     // later copy → the 10-token run drops
+      (3L, "x1 x2 x3 r1 r2 r3 r4 r5"),                 // shares only a 5-token run → survives
+      (4L, "a1 a2 a3 a4 a5 a6 a7 a8 mid a1 a2 a3 a4 a5 a6 a7 a8"), // intra-doc repeat
+      (5L, "s1 s2")                                    // shorter than l → no grams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupSpansAcrossCorpus(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getAs[Long]("n_removed")))).toMap
+    out(1L) shouldBe ((s"$run10 tailone tailtwo", 12L, 0L))
+    out(2L) shouldBe (("head1 head2", 12L, 10L))
+    out(3L) shouldBe (("x1 x2 x3 r1 r2 r3 r4 r5", 8L, 0L))
+    out(4L) shouldBe (("a1 a2 a3 a4 a5 a6 a7 a8 mid", 17L, 8L))
+    out(5L) shouldBe (("s1 s2", 2L, 0L))
+    // first-occurrence selection must be a partial-aggregating groupBy,
+    // never a window over a viral gram group
+    TextAnalysis.dedupSpansAcrossCorpus(d, "doc_id", "text")
+      .queryExecution.executedPlan.toString should not include "Window"
+  }
+
+  "gopherRules" should "gate each MassiveText rule independently with exact-integer thresholds" in {
+    val good = "the cat sat and the dog ran with that have been seen here now"
+    val d = Seq(
+      (1L, good),                                          // passes everything
+      (2L, "the of"),                                      // under minWords floor
+      (3L, good + " ## ##"),                               // 4 '#' vs 16 words → 40 > 16 fails
+      (4L, "- one\n- two\n- three\n- four\n- five\n- six\n- seven\n- eight\n- nine\n- ten\nplain"),
+      (5L, good + "\nwait for it...\nplain line"),         // 1/3 ellipsis-end > 30%
+      (6L, good.split(" ").map(w => w + "7777777").mkString(" ")), // mean len > 10
+      (7L, good + " 11 22 33 44 55"),                      // 5/18 non-alpha > 20%
+      (8L, "cat dog bird tree rock lake sand wind fire snow rain leaf")) // no required stopwords
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(d, "doc_id", "text", minWords = 5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    out(1L).getAs[Boolean]("keep") shouldBe true
+    out(2L).getAs[Boolean]("wordcount_ok") shouldBe false
+    out(3L).getAs[Boolean]("symbol_ok") shouldBe false
+    out(4L).getAs[Boolean]("bullet_ok") shouldBe false    // 10 of 11 lines > 90%
+    out(5L).getAs[Boolean]("ellipsis_ok") shouldBe false
+    out(6L).getAs[Boolean]("mean_len_ok") shouldBe false
+    out(7L).getAs[Boolean]("alpha_ok") shouldBe false
+    out(8L).getAs[Boolean]("stopword_ok") shouldBe false
+    // every failing doc fails ONLY through keep=false, never dropped
+    out.size shouldBe 8
+    out.values.count(_.getAs[Boolean]("keep")) shouldBe 1
+    // pure map-side plan: one codegen span, no shuffle, no join, no window
+    val plan = TextAnalysis.gopherRules(d, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+    plan should not include "Window"
+    plan should not include "Join"
+  }
+
   "vocabCoverage" should "build the top-V vocab deterministically and score per-doc OOV share" in {
     val d = Seq(
       (1L, "a a a b b c"),
