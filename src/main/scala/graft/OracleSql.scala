@@ -252,6 +252,25 @@ FROM t x JOIN t y ON x.doc_id < y.doc_id ORDER BY a, b""",
  rk AS (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)::BIGINT AS rank FROM s)
 SELECT query_id, rank, neighbor_id FROM rk WHERE rank <= $AnnTopK ORDER BY query_id, rank""",
 
+    // SQ8 scalar-quantized ANN: codes = floor(((x-mn)*255.0)/(mx-mn))
+    // clamped to [0,255] over per-dim corpus min/max (same double op order
+    // as Spark → bit-identical codes); scores are integer quantized dot
+    // products — float-free output
+    "q65_sq8_ann_topk" ->
+      s"""WITH d AS (SELECT unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i FROM embeddings),
+ mm AS (SELECT i, min(x) AS mn, max(x) AS mx FROM d GROUP BY i),
+ ar AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM mm),
+ c AS (SELECT vec_id, [CASE WHEN mxs[i] > mns[i]
+     THEN least(255, floor(((embedding[i]::DOUBLE - mns[i]::DOUBLE) * 255.0) / (mxs[i]::DOUBLE - mns[i]::DOUBLE))::BIGINT)
+     ELSE 0 END FOR i IN range(1, len(embedding)+1)] AS code
+  FROM embeddings, ar),
+ q AS (SELECT vec_id AS query_id, code AS qc FROM c WHERE vec_id < 10),
+ s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+   list_reduce(list_prepend(CAST(0 AS BIGINT), [qc[i+1]*code[i+1] FOR i IN range(0, len(qc))]), (a,v) -> a+v) AS qdot
+  FROM q JOIN c ON c.vec_id <> q.query_id),
+ rk AS (SELECT query_id, neighbor_id, qdot, row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, neighbor_id)::BIGINT AS rank FROM s)
+SELECT query_id, rank, neighbor_id, qdot FROM rk WHERE rank <= $AnnTopK ORDER BY query_id, rank""",
+
     "q18_ann_lsh_buckets" ->
       s"""SELECT vec_id, ${bucketSql("embedding")} AS bucket
 FROM embeddings ORDER BY vec_id""",

@@ -243,6 +243,16 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** SQ8 scalar-quantized ANN: per-dimension uint8 codes (corpus-trained
+    * min/max ranges) scored by integer quantized dot product — the
+    * memory-bound scale lever (4× smaller index than float32) with a
+    * float-free, exactly-hashable result. */
+  def sq8AnnTopK(s: SparkSession, dir: String): DataFrame = {
+    val c = vecs(s, dir)
+    AnnSearch.sq8TopK(c, c.where(col("id") < 10))
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding-cosine near-dup pairs (bucketed candidates + exact cosine
     * threshold; τ pinned to 0.4 for the synthetic embeddings — their max
     * pairwise cosine is 0.47, so a production-like 0.95 matches nothing). */

@@ -74,7 +74,8 @@ object SparkEntry {
     "q61_clean_lines" -> (Queries.cleanLinesQ(_, _)),
     "q62_vocab_coverage" -> (Queries.vocabCoverageQ(_, _)),
     "q63_dedup_spans" -> (Queries.dedupSpansQ(_, _)),
-    "q64_gopher_rules" -> (Queries.gopherRulesQ(_, _))
+    "q64_gopher_rules" -> (Queries.gopherRulesQ(_, _)),
+    "q65_sq8_ann_topk" -> (Queries.sq8AnnTopK(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

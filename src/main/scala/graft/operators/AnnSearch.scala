@@ -355,4 +355,74 @@ object AnnSearch {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
+
+  // ---- SQ8: scalar-quantized search (the memory-bound scale lever) ----
+
+  /** Per-dimension uint8 scalar quantization (the SQ8 codec of the FAISS
+    * family / Jégou et al.'s scalar baseline): code[d] = floor((x[d] −
+    * min_d) · 255 / (max_d − min_d)) clamped to [0, 255], with the
+    * per-dimension corpus min/max as the trained range (a constant-width
+    * degenerate dimension codes to 0). 4× smaller than float32 — at 10^12
+    * vectors the difference between an index that fits executor memory and
+    * one that doesn't — and the asymmetric trick of scoring QUANTIZED dot
+    * products keeps the whole search integer-only (exact cross-engine
+    * hashing, SIMD-friendly at runtime).
+    *
+    * FP parity: the scale arithmetic is pinned as ((x − mn) · 255.0) /
+    * (mx − mn) on doubles cast from the stored floats — the same op order
+    * the DuckDB oracle uses, so the codes are bit-identical.
+    *
+    * Scale shape: the range "training" is a d-row map-side-combining agg
+    * (one (dim → min/max) pair per partition per dim); the d-entry range
+    * arrays ride to every executor as a broadcast single-row cross join;
+    * encoding is map-side. Nothing here shuffles the corpus.
+    *
+    * @param corpus (id, vec: array<float>)
+    * @return (id, code: array<bigint> in [0,255])  */
+  def sq8Encode(corpus: DataFrame): DataFrame = {
+    val ranges = corpus
+      .select(posexplode(col("vec")).as(Seq("dim", "x")))
+      .groupBy("dim").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .groupBy().agg(array_sort(collect_list(struct(col("dim"), col("mn"),
+        col("mx")))).as("r"))
+      .select(transform(col("r"), e => e("mn")).as("mns"),
+        transform(col("r"), e => e("mx")).as("mxs"))
+    corpus.crossJoin(broadcast(ranges))
+      .select(col("id"),
+        zip_with(col("vec"),
+          sequence(lit(0), size(col("vec")) - 1),
+          (x, i) => {
+            val mn = element_at(col("mns"), i + 1).cast("double")
+            val mx = element_at(col("mxs"), i + 1).cast("double")
+            when(mx > mn,
+              least(lit(255L),
+                floor(((x.cast("double") - mn) * lit(255.0)) / (mx - mn))))
+              .otherwise(lit(0L))
+          }).as("code"))
+  }
+
+  /** Brute-force top-k over SQ8 codes — the quantized counterpart of
+    * [[bruteForceTopK]] and the re-rank baseline for SQ8 recall checks.
+    * Scores are integer quantized dot products (≤ 255²·d — long-safe to
+    * d ≈ 10^14), so ranking, tie-breaks (by neighbor id) and the emitted
+    * `qdot` are all exact integers. The query side broadcasts; the corpus
+    * is scanned once, never shuffled; compose with [[lshBuckets]] /
+    * [[ivfTopK]] candidate pruning when the corpus outgrows a full scan.
+    *
+    * @return (query_id, rank, neighbor_id, qdot) */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int = AnnTopK): DataFrame = {
+    val codes = sq8Encode(corpus)
+    val qIds = queries.select(col("id").as("query_id"))
+    val q = broadcast(codes.join(qIds, codes("id") === qIds("query_id"))
+      .select(col("query_id"), col("code").as("qc")))
+    val scored = q.join(codes.select(col("id").as("neighbor_id"), col("code")),
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(zip_with(col("qc"), col("code"), (a, b) => a * b),
+          lit(0L), (acc, v) => acc + v).as("qdot"))
+    val w = Window.partitionBy("query_id").orderBy(col("qdot").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("qdot"))
+  }
 }

@@ -393,6 +393,30 @@ class AnnAndTextSpec extends AnyFlatSpec with Matchers with SparkTestBase {
       .queryExecution.executedPlan.toString should not include "Window"
   }
 
+  "sq8Encode/sq8TopK" should "quantize to corpus-trained uint8 codes and rank by integer quantized dot" in {
+    // per-dim ranges: mn=[0,0,0,7], mx=[1,10,10,7] — dim 4 degenerate
+    val d = Seq(
+      (0L, Array(0f, 0f, 10f, 7f)),
+      (1L, Array(1f, 10f, 0f, 7f)),
+      (2L, Array(0.5f, 5f, 5f, 7f)),
+      (3L, Array(1f, 10f, 10f, 7f))).toDF("id", "vec")
+    val codes = AnnSearch.sq8Encode(d)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    codes(0L) shouldBe Seq(0L, 0L, 255L, 0L)
+    codes(1L) shouldBe Seq(255L, 255L, 0L, 0L)
+    codes(2L) shouldBe Seq(127L, 127L, 127L, 0L)   // 127.5 floors to 127
+    codes(3L) shouldBe Seq(255L, 255L, 255L, 0L)
+    // query 0 against the rest: qdot = 65025 (id3) > 32385 (id2) > 0 (id1)
+    val top = AnnSearch.sq8TopK(d, d.where(col("id") === 0L), k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    top.sortBy(_._1) shouldBe Array((1L, 3L, 65025L), (2L, 2L, 32385L), (3L, 1L, 0L))
+    // corpus side is never shuffled for scoring: the only Exchange feeds
+    // the d-row range agg and the per-query window, not the code scan
+    val plan = AnnSearch.sq8TopK(d, d.where(col("id") === 0L), k = 3)
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastExchange") // ranges + query codes ride broadcasts
+  }
+
   "gopherRules" should "gate each MassiveText rule independently with exact-integer thresholds" in {
     val good = "the cat sat and the dog ran with that have been seen here now"
     val d = Seq(
