@@ -87,6 +87,35 @@ object OracleSql {
     (a,v) -> a+v) > 0 THEN 1 ELSE 0 END)::BIGINT
  FOR h IN range(${AnnHyperplanes - 1},-1,-1)]), (acc,b) -> acc*2+b)"""
 
+  /** Shared CTE chain computing the DCT pHash signature table
+    * `sg(vec_id, phash_hi, phash_lo)` from the embeddings table: SQ8 codes
+    * (same double op order as Spark → bit-identical), separable fixed-point
+    * DCT interpolated from the exact GoldenConfig.DctCoef integer literals,
+    * 63 AC bits thresholded against their lower median, folded MSB-first
+    * into (hi: 31 bits, lo: 32 bits). Used by q66 and q67. */
+  private def phashSigsCte: String =
+    s"""coef AS (SELECT ${graft.config.GoldenConfig.DctCoef.flatten.mkString("[", ", ", "]")} AS cf),
+ d AS (SELECT unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i FROM embeddings),
+ mm AS (SELECT i, min(x) AS mn, max(x) AS mx FROM d GROUP BY i),
+ ar AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM mm),
+ c AS (SELECT vec_id, [CASE WHEN mxs[i] > mns[i]
+     THEN least(255, floor(((embedding[i]::DOUBLE - mns[i]::DOUBLE) * 255.0) / (mxs[i]::DOUBLE - mns[i]::DOUBLE))::BIGINT)
+     ELSE 0 END FOR i IN range(1, len(embedding)+1)] AS code
+  FROM embeddings, ar),
+ g AS (SELECT vec_id, [list_reduce(list_prepend(CAST(0 AS BIGINT),
+     [cf[(j//8)*8+x+1]*code[x*8+(j%8)+1] FOR x IN range(0,8)]), (a,v) -> a+v)
+   FOR j IN range(0,64)] AS g FROM c, coef),
+ f AS (SELECT vec_id, [list_reduce(list_prepend(CAST(0 AS BIGINT),
+     [cf[(j%8)*8+y+1]*g[(j//8)*8+y+1] FOR y IN range(0,8)]), (a,v) -> a+v)
+   FOR j IN range(0,64)] AS f FROM g, coef),
+ m AS (SELECT vec_id, f, list_sort(f[2:64])[32] AS med FROM f),
+ sg AS (SELECT vec_id,
+  list_reduce(list_prepend(CAST(0 AS BIGINT),
+    [CASE WHEN f[i] > med THEN 1 ELSE 0 END FOR i IN range(2,33)]), (a,v) -> a*2+v) AS phash_hi,
+  list_reduce(list_prepend(CAST(0 AS BIGINT),
+    [CASE WHEN f[i] > med THEN 1 ELSE 0 END FOR i IN range(33,65)]), (a,v) -> a*2+v) AS phash_lo
+  FROM m)"""
+
   /** Banded variant of [[bucketSql]]: the bucket of table `t` (a SQL
     * expression) folds planes [t*r, (t+1)*r) high-to-low, r =
     * AnnBandPlanes — mirrors HashKernels.hyperplaneBucket(v, r, t*r). */
@@ -270,6 +299,32 @@ SELECT query_id, rank, neighbor_id FROM rk WHERE rank <= $AnnTopK ORDER BY query
   FROM q JOIN c ON c.vec_id <> q.query_id),
  rk AS (SELECT query_id, neighbor_id, qdot, row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, neighbor_id)::BIGINT AS rank FROM s)
 SELECT query_id, rank, neighbor_id, qdot FROM rk WHERE rank <= $AnnTopK ORDER BY query_id, rank""",
+
+    // DCT perceptual hash over SQ8 8x8 blocks: the fixed-point DCT basis
+    // is interpolated from GoldenConfig.DctCoef (integers pinned at build
+    // time — no cross-engine cos()); bits threshold AC coefficients
+    // against their lower median (sorted[32] of 63); 63 bits fold into
+    // (hi: 31 bits, lo: 32 bits) MSB-first
+    "q66_phash_dct" ->
+      s"""WITH $phashSigsCte
+SELECT vec_id, phash_hi, phash_lo FROM sg ORDER BY vec_id""",
+
+    // pHash near-dup pairs: the oracle is BRUTE FORCE over all id<id
+    // pairs (xor + bit_count over both signature halves), so a hash
+    // match proves the Spark side's pigeonhole band join loses nothing
+    // within the radius. Planted variants flip exactly one AC bit.
+    "q67_phash_pairs" ->
+      s"""WITH $phashSigsCte,
+ u AS (SELECT vec_id AS id, phash_hi AS h, phash_lo AS l FROM sg
+   UNION ALL SELECT vec_id + 1000000,
+     CASE WHEN vec_id % 63 < 31 THEN xor(phash_hi, CAST(1 AS BIGINT) << CAST(30 - vec_id % 63 AS INT)) ELSE phash_hi END,
+     CASE WHEN vec_id % 63 >= 31 THEN xor(phash_lo, CAST(1 AS BIGINT) << CAST(62 - vec_id % 63 AS INT)) ELSE phash_lo END
+   FROM sg)
+SELECT x.id AS a, y.id AS b,
+ (bit_count(xor(x.h, y.h)) + bit_count(xor(x.l, y.l)))::BIGINT AS dist
+FROM u x JOIN u y ON x.id < y.id
+WHERE bit_count(xor(x.h, y.h)) + bit_count(xor(x.l, y.l)) <= 3
+ORDER BY a, b""",
 
     "q18_ann_lsh_buckets" ->
       s"""SELECT vec_id, ${bucketSql("embedding")} AS bucket

@@ -253,6 +253,35 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** DCT perceptual-hash signatures over the embedding table: each 64-dim
+    * vector becomes an 8×8 block under SQ8, then the fixed-point integer
+    * DCT pHash (GoldenConfig.DctCoef — no cross-engine cos()) folds its 63
+    * AC median-threshold bits into (phash_hi, phash_lo). The image path
+    * feeds the same operator 8×8 box-downscaled grayscale instead. */
+  def phashDctQ(s: SparkSession, dir: String): DataFrame =
+    images.PerceptualHash.signatures(
+        AnnSearch.sq8Encode(vecs(s, dir)), "id", "code")
+      .withColumnRenamed("id", "vec_id")
+      .orderBy("vec_id")
+
+  /** pHash near-dup pairs via the pigeonhole band join, proven lossless
+    * against a BRUTE-FORCE oracle: signatures from [[phashDctQ]]'s path
+    * plus planted one-bit-flipped variants (id + 1e6, AC bit id % 63)
+    * joined at Hamming ≤ 3. The Spark side touches only 4 chunk-key
+    * equi-joins (never all pairs — the 10^12 shape); the oracle xors and
+    * popcounts every id<id pair, so a hash match certifies zero recall
+    * loss within the radius. */
+  def phashPairsQ(s: SparkSession, dir: String): DataFrame = {
+    val sigs = images.PerceptualHash.signatures(
+      AnnSearch.sq8Encode(vecs(s, dir)), "id", "code")
+    val variants = sigs.selectExpr(
+      "id + 1000000 AS id",
+      "CASE WHEN id % 63 < 31 THEN phash_hi ^ shiftleft(1L, CAST(30 - id % 63 AS INT)) ELSE phash_hi END AS phash_hi",
+      "CASE WHEN id % 63 >= 31 THEN phash_lo ^ shiftleft(1L, CAST(62 - id % 63 AS INT)) ELSE phash_lo END AS phash_lo")
+    images.PerceptualHash.nearDupPairs(sigs.unionByName(variants), maxDist = 3)
+      .orderBy("a", "b")
+  }
+
   /** Embedding-cosine near-dup pairs (bucketed candidates + exact cosine
     * threshold; τ pinned to 0.4 for the synthetic embeddings — their max
     * pairwise cosine is 0.47, so a production-like 0.95 matches nothing). */

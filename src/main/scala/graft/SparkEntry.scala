@@ -75,7 +75,9 @@ object SparkEntry {
     "q62_vocab_coverage" -> (Queries.vocabCoverageQ(_, _)),
     "q63_dedup_spans" -> (Queries.dedupSpansQ(_, _)),
     "q64_gopher_rules" -> (Queries.gopherRulesQ(_, _)),
-    "q65_sq8_ann_topk" -> (Queries.sq8AnnTopK(_, _))
+    "q65_sq8_ann_topk" -> (Queries.sq8AnnTopK(_, _)),
+    "q66_phash_dct" -> (Queries.phashDctQ(_, _)),
+    "q67_phash_pairs" -> (Queries.phashPairsQ(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

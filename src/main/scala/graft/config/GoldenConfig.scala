@@ -98,6 +98,17 @@ object GoldenConfig {
   /** Deterministic seed for the synthetic image+caption generator. */
   val Seed: Long = 42L
 
+  /** Fixed-point 8-point DCT-II basis, C(u)(x) = round(cos(π·(2x+1)·u/16)
+    * · 2^14) — the pHash DCT pinned as INTEGERS at build time, so the
+    * distributed kernel and the DuckDB oracle (which interpolates these
+    * exact literals) share one table and the whole perceptual hash is
+    * integer arithmetic end to end: no cross-engine libm cos() to drift.
+    * Overflow bound: |F(u,v)| ≤ 255·16384²·64 ≈ 4.4·10^12 ≪ Long.Max. */
+  val DctScale: Long = 16384L
+  val DctCoef: Array[Array[Long]] = Array.tabulate(8, 8) { (u, x) =>
+    Math.round(Math.cos(Math.PI * (2 * x + 1) * u / 16.0) * DctScale.toDouble)
+  }
+
   /** Affine MinHash coefficients, host-side (mirrors the SQL formula). */
   def hashA(i: Int): Long = (LcgMul * i + LcgAddA) % P
   def hashB(i: Int): Long = (LcgMul * (i + BSeedOffset) + LcgAddB) % P

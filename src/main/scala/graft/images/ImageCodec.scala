@@ -168,5 +168,29 @@ object ImageCodec {
     phash(px, w, h)
   }
 
+  /** The 8×8 box-downscaled grayscale block (integer cell means, 0..255)
+    * that [[phash]] thresholds — exposed so the DCT path
+    * ([[PerceptualHash.dctHash]]) can consume REAL decoded pixels with the
+    * same pinned box filter. Row-major: block(8·cy + cx). */
+  def gray8x8(px: Array[Int], w: Int, h: Int): Array[Long] = {
+    val cells = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val cy = math.min(7, y * 8 / h)
+      var x = 0
+      while (x < w) {
+        val cx = math.min(7, x * 8 / w)
+        val p = px(y * w + x)
+        val gray = ((p >> 16) & 0xFF) * 299L + ((p >> 8) & 0xFF) * 587L + (p & 0xFF) * 114L
+        cells(cy * 8 + cx) += gray
+        counts(cy * 8 + cx) += 1000L
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(64)(i => if (counts(i) == 0L) 0L else cells(i) / counts(i))
+  }
+
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 }
