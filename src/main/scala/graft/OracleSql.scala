@@ -326,6 +326,23 @@ FROM u x JOIN u y ON x.id < y.id
 WHERE bit_count(xor(x.h, y.h)) + bit_count(xor(x.l, y.l)) <= 3
 ORDER BY a, b""",
 
+    // As-of join via the union-merge window (identical algebra to the
+    // Spark side; validated against DuckDB's correlated-subquery
+    // formulation — greatest o_orderdate <= ts, ties by max o_orderkey)
+    "q68_asof_join" ->
+      """WITH u AS (
+ SELECT user_id AS k, ts AS t, 1 AS side, event_id,
+        NULL::BIGINT AS okey, NULL::DOUBLE AS oprice FROM events
+ UNION ALL
+ SELECT o_custkey, o_orderdate, 0, NULL, o_orderkey, o_totalprice FROM orders),
+ w AS (SELECT k, t, side, event_id,
+   last_value(CASE WHEN side = 0 THEN {'k2': okey, 'p': oprice} END IGNORE NULLS)
+     OVER (PARTITION BY k ORDER BY t, side, okey NULLS LAST
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS av
+  FROM u)
+SELECT event_id, k AS user_id, av.k2 AS asof_orderkey, av.p AS asof_price
+FROM w WHERE side = 1 ORDER BY event_id""",
+
     "q18_ann_lsh_buckets" ->
       s"""SELECT vec_id, ${bucketSql("embedding")} AS bucket
 FROM embeddings ORDER BY vec_id""",

@@ -282,6 +282,23 @@ object Queries {
       .orderBy("a", "b")
   }
 
+  /** As-of (point-in-time) join: each event picks up the latest order of
+    * the same customer at-or-before its timestamp — the union-merge
+    * formulation (one shuffle + sort, O(n+m) per key), never a per-key
+    * cartesian inequality join. Oracle = the same window algebra in
+    * DuckDB, cross-checked there against correlated-subquery semantics. */
+  def asofJoinQ(s: SparkSession, dir: String): DataFrame =
+    AsOfJoin.asOf(
+        tbl(s, dir, "events").select("event_id", "user_id", "ts"),
+        tbl(s, dir, "orders"),
+        leftKey = "user_id", leftTime = "ts",
+        rightKey = "o_custkey", rightTime = "o_orderdate",
+        rightTie = "o_orderkey", payload = Seq("o_orderkey", "o_totalprice"))
+      .select(col("event_id"), col("user_id"),
+        col("asof_o_orderkey").as("asof_orderkey"),
+        col("asof_o_totalprice").as("asof_price"))
+      .orderBy("event_id")
+
   /** Embedding-cosine near-dup pairs (bucketed candidates + exact cosine
     * threshold; τ pinned to 0.4 for the synthetic embeddings — their max
     * pairwise cosine is 0.47, so a production-like 0.95 matches nothing). */
