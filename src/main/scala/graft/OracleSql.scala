@@ -343,6 +343,30 @@ ORDER BY a, b""",
 SELECT event_id, k AS user_id, av.k2 AS asof_orderkey, av.p AS asof_price
 FROM w WHERE side = 1 ORDER BY event_id""",
 
+    // HyperLogLog registers: the token hash is first avalanched by the
+    // 31-bit xorshift-multiply finalizer (GoldenConfig.mix31 — lateral
+    // column aliases keep each step eval-once), then bucket = low p bits,
+    // rho = 1 + trailing zeros of the 21-bit suffix (two's-complement
+    // isolate-lowest-bit, identical bit algebra to the Spark side), zero
+    // suffix -> sentinel MaxRho. Pure-integer register contract.
+    "q69_hll_registers" ->
+      s"""WITH toks AS (SELECT source, unnest(string_split(lower(text),' ')) AS tok FROM documents),
+ hh AS (SELECT source, ${strHash("tok")} AS h FROM toks),
+ mx AS (SELECT source,
+   xor(h, h >> 16) AS a1, (a1 * ${Mix31C1}) & ${Mix31Mask} AS a2,
+   xor(a2, a2 >> 13) AS a3, (a3 * ${Mix31C2}) & ${Mix31Mask} AS a4,
+   xor(a4, a4 >> 11) AS a5,
+   xor(a5, a5 >> 16) AS b1, (b1 * ${Mix31C1}) & ${Mix31Mask} AS b2,
+   xor(b2, b2 >> 13) AS b3, (b3 * ${Mix31C2}) & ${Mix31Mask} AS b4,
+   xor(b4, b4 >> 11) AS hm
+  FROM hh),
+ r AS (SELECT source, hm % ${graft.operators.Sketches.HllRegisters} AS bucket,
+   CASE WHEN (hm >> ${graft.operators.Sketches.HllP}) = 0 THEN ${graft.operators.Sketches.HllMaxRho}
+        ELSE bit_count(((hm >> ${graft.operators.Sketches.HllP}) & -(hm >> ${graft.operators.Sketches.HllP})) - 1) + 1 END AS rho
+  FROM mx)
+SELECT source, bucket::BIGINT AS bucket, max(rho)::BIGINT AS register
+FROM r GROUP BY source, bucket ORDER BY source, bucket""",
+
     "q18_ann_lsh_buckets" ->
       s"""SELECT vec_id, ${bucketSql("embedding")} AS bucket
 FROM embeddings ORDER BY vec_id""",

@@ -299,6 +299,18 @@ object Queries {
         col("asof_o_totalprice").as("asof_price"))
       .orderBy("event_id")
 
+  /** Per-source HyperLogLog registers over token hashes — count-distinct
+    * as a mergeable O(2^p)-sized sketch instead of shuffling every
+    * distinct key. The register table (bucket, max-rho) is the contract
+    * (pure integers — hash-exact); the float estimate stays out of it. */
+  def hllRegistersQ(s: SparkSession, dir: String): DataFrame =
+    Sketches.hllRegisters(
+        docs(s, dir).select(col("source"), explode(tokens(col("text"))).as("tok"))
+          .withColumn("h", TextHash.strHash(col("tok"))),
+        "source", col("h"))
+      .select(col("grp").as("source"), col("bucket"), col("register"))
+      .orderBy("source", "bucket")
+
   /** Embedding-cosine near-dup pairs (bucketed candidates + exact cosine
     * threshold; τ pinned to 0.4 for the synthetic embeddings — their max
     * pairwise cosine is 0.47, so a production-like 0.95 matches nothing). */

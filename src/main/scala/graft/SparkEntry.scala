@@ -78,7 +78,8 @@ object SparkEntry {
     "q65_sq8_ann_topk" -> (Queries.sq8AnnTopK(_, _)),
     "q66_phash_dct" -> (Queries.phashDctQ(_, _)),
     "q67_phash_pairs" -> (Queries.phashPairsQ(_, _)),
-    "q68_asof_join" -> (Queries.asofJoinQ(_, _))
+    "q68_asof_join" -> (Queries.asofJoinQ(_, _)),
+    "q69_hll_registers" -> (Queries.hllRegistersQ(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
