@@ -87,6 +87,18 @@ object OracleSql {
     (a,v) -> a+v) > 0 THEN 1 ELSE 0 END)::BIGINT
  FOR h IN range(${AnnHyperplanes - 1},-1,-1)]), (acc,b) -> acc*2+b)"""
 
+  /** The [[graft.config.GoldenConfig.mix31]] avalanche as a lateral-alias
+    * column chain (each step eval-once): emits aliases a1..b4 and the
+    * final mixed value as `hm`. `in` may be any integer expression in
+    * [0, 2^31); it is referenced twice (cheap scalar). */
+  private def mix31Sql(in: String): String =
+    s"""xor($in, ($in) >> 16) AS a1, (a1 * $Mix31C1) & $Mix31Mask AS a2,
+   xor(a2, a2 >> 13) AS a3, (a3 * $Mix31C2) & $Mix31Mask AS a4,
+   xor(a4, a4 >> 11) AS a5,
+   xor(a5, a5 >> 16) AS b1, (b1 * $Mix31C1) & $Mix31Mask AS b2,
+   xor(b2, b2 >> 13) AS b3, (b3 * $Mix31C2) & $Mix31Mask AS b4,
+   xor(b4, b4 >> 11) AS hm"""
+
   /** Shared CTE chain computing the DCT pHash signature table
     * `sg(vec_id, phash_hi, phash_lo)` from the embeddings table: SQ8 codes
     * (same double op order as Spark → bit-identical), separable fixed-point
@@ -352,13 +364,7 @@ FROM w WHERE side = 1 ORDER BY event_id""",
     "q69_hll_registers" ->
       s"""WITH toks AS (SELECT source, unnest(string_split(lower(text),' ')) AS tok FROM documents),
  hh AS (SELECT source, ${strHash("tok")} AS h FROM toks),
- mx AS (SELECT source,
-   xor(h, h >> 16) AS a1, (a1 * ${Mix31C1}) & ${Mix31Mask} AS a2,
-   xor(a2, a2 >> 13) AS a3, (a3 * ${Mix31C2}) & ${Mix31Mask} AS a4,
-   xor(a4, a4 >> 11) AS a5,
-   xor(a5, a5 >> 16) AS b1, (b1 * ${Mix31C1}) & ${Mix31Mask} AS b2,
-   xor(b2, b2 >> 13) AS b3, (b3 * ${Mix31C2}) & ${Mix31Mask} AS b4,
-   xor(b4, b4 >> 11) AS hm
+ mx AS (SELECT source, ${mix31Sql("h")}
   FROM hh),
  r AS (SELECT source, hm % ${graft.operators.Sketches.HllRegisters} AS bucket,
    CASE WHEN (hm >> ${graft.operators.Sketches.HllP}) = 0 THEN ${graft.operators.Sketches.HllMaxRho}
@@ -366,6 +372,26 @@ FROM w WHERE side = 1 ORDER BY event_id""",
   FROM mx)
 SELECT source, bucket::BIGINT AS bucket, max(rho)::BIGINT AS register
 FROM r GROUP BY source, bucket ORDER BY source, bucket""",
+
+    // Count-min sketch cells: per depth d the base hash is shifted by
+    // d*54321 (mod 2^31 via &) then avalanched; cell = (d, hm % width).
+    "q70_countmin" ->
+      s"""WITH toks AS (SELECT unnest(string_split(lower(text),' ')) AS tok FROM documents),
+ hh AS (SELECT ${strHash("tok")} AS h FROM toks),
+ dd AS (SELECT h, unnest(range(${graft.operators.Sketches.CmDepth})) AS d FROM hh),
+ mx AS (SELECT d, ${mix31Sql(s"(h + d * 54321) & $Mix31Mask")}
+  FROM dd)
+SELECT d::BIGINT AS d, (hm % ${graft.operators.Sketches.CmWidth})::BIGINT AS bucket, count(*)::BIGINT AS cnt
+FROM mx GROUP BY d, hm % ${graft.operators.Sketches.CmWidth} ORDER BY d, bucket""",
+
+    // Morton/Z-order interleave of the low 16 bits of both key columns:
+    // base-4 fold from bit 15 down, custkey in even, orderkey in odd bits
+    "q71_zorder" ->
+      """SELECT o_orderkey,
+ list_reduce(list_prepend(CAST(0 AS BIGINT),
+   [(((o_orderkey & 65535) >> i) % 2) * 2 + (((o_custkey & 65535) >> i) % 2)
+    FOR i IN range(15, -1, -1)]), (acc, v) -> acc * 4 + v) AS z
+FROM orders ORDER BY o_orderkey""",
 
     "q18_ann_lsh_buckets" ->
       s"""SELECT vec_id, ${bucketSql("embedding")} AS bucket

@@ -311,6 +311,25 @@ object Queries {
       .select(col("grp").as("source"), col("bucket"), col("register"))
       .orderBy("source", "bucket")
 
+  /** Corpus-wide count-min sketch over token occurrences: the occupied
+    * (depth, bucket, count) cells — integer contract, mergeable by cell
+    * addition, O(depth·width) shuffle regardless of distinct-token count. */
+  def countMinQ(s: SparkSession, dir: String): DataFrame =
+    Sketches.countMin(
+        docs(s, dir).select(explode(tokens(col("text"))).as("tok"))
+          .withColumn("h", TextHash.strHash(col("tok"))),
+        col("h"))
+      .orderBy("d", "bucket")
+
+  /** Z-order (Morton) layout keys over orders: the interleaved
+    * (o_custkey, o_orderkey) key that makes file-level min/max stats
+    * prune on both columns after a range-repartition-and-sort. */
+  def zorderQ(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders")
+      .select(col("o_orderkey"),
+        ZOrder.zKey(col("o_custkey"), col("o_orderkey")).as("z"))
+      .orderBy("o_orderkey")
+
   /** Embedding-cosine near-dup pairs (bucketed candidates + exact cosine
     * threshold; τ pinned to 0.4 for the synthetic embeddings — their max
     * pairwise cosine is 0.47, so a production-like 0.95 matches nothing). */

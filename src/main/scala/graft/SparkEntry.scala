@@ -79,7 +79,9 @@ object SparkEntry {
     "q66_phash_dct" -> (Queries.phashDctQ(_, _)),
     "q67_phash_pairs" -> (Queries.phashPairsQ(_, _)),
     "q68_asof_join" -> (Queries.asofJoinQ(_, _)),
-    "q69_hll_registers" -> (Queries.hllRegistersQ(_, _))
+    "q69_hll_registers" -> (Queries.hllRegistersQ(_, _)),
+    "q70_countmin" -> (Queries.countMinQ(_, _)),
+    "q71_zorder" -> (Queries.zorderQ(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -60,6 +60,46 @@ object Sketches {
   def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("grp", "bucket").agg(max("register").as("register"))
 
+  /** Count-min depth (independent hash rows) and width (buckets/row). */
+  val CmDepth: Int = 4
+  val CmWidth: Int = 4096
+  /** Per-depth hash: avalanche the depth-shifted base hash. The shift is
+    * additive pre-mix (the mixer decorrelates the rows); & keeps the input
+    * inside 31 bits on both engines. */
+  def cmBucket(h: Column, d: Column): Column =
+    mix31((h + d * 54321L).bitwiseAND(GoldenConfig.Mix31Mask)) % CmWidth
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) over a weight-1 item
+    * column: frequency estimates for ANY item from a fixed
+    * CmDepth × CmWidth integer table — the heavy-hitter shape for 10^12
+    * tokens: the shuffle is O(depth · width) map-side-combined counts, not
+    * O(distinct items), and sketches from corpus slices merge by adding
+    * cells. Estimate(item) = min over depths of its cell (always ≥ truth;
+    * tight for heavy hitters). Returns (d, bucket, cnt) — only occupied
+    * cells; absent cells are zero. */
+  def countMin(df: DataFrame, itemHashCol: Column): DataFrame =
+    df.select(explode(transform(sequence(lit(0), lit(CmDepth - 1)),
+        d => struct(d.cast("long").as("d"),
+          cmBucket(itemHashCol.cast("long"), d.cast("long")).as("bucket"))))
+        .as("cell"))
+      .groupBy(col("cell.d").as("d"), col("cell.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point-query the sketch: min over depths of each probe's cell. Probes
+    * is (probe, h) with the RAW (un-avalanched) item hash; the sketch side
+    * is broadcast-sized (≤ depth·width rows). */
+  def cmEstimate(sketch: DataFrame, probes: DataFrame,
+                 probeCol: String, hashCol: String): DataFrame =
+    probes.select(col(probeCol).as("probe"),
+        explode(transform(sequence(lit(0), lit(CmDepth - 1)),
+          d => struct(d.cast("long").as("d"),
+            cmBucket(col(hashCol).cast("long"), d.cast("long")).as("bucket"))))
+          .as("cell"))
+      .join(broadcast(sketch), col("cell.d") === sketch("d") &&
+        col("cell.bucket") === sketch("bucket"), "left")
+      .groupBy("probe")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("estimate"))
+
   /** Standard HLL estimate per group (float path — operational readout,
     * not part of the cross-engine register contract): alpha·m²/Σ2^-r with
     * the small-range linear-counting correction. */

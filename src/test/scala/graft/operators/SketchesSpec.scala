@@ -40,6 +40,24 @@ class SketchesSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     merged shouldBe refRegisters(keys)
   }
 
+  "countMin" should "never underestimate and be exact for heavy hitters on a sparse sketch" in {
+    // 3000 occurrences of "hot", 1..3 of 300 cold tokens
+    val items = Seq.fill(3000)("hot") ++ (0 until 300).flatMap(i => Seq.fill(i % 3 + 1)(s"cold$i"))
+    val truth = items.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val df = items.toDF("tok")
+      .withColumn("h", graft.functions.TextHash.strHash(col("tok")))
+    val sketch = Sketches.countMin(df, col("h"))
+    val probes = truth.keys.toSeq.toDF("probe")
+      .withColumn("h", graft.functions.TextHash.strHash(col("probe")))
+    val est = Sketches.cmEstimate(sketch, probes, "probe", "h")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    truth.foreach { case (k, n) => est(k) should be >= n } // CM guarantee
+    est("hot") shouldBe 3000L // far above any collision noise at 4x4096
+    // total mass per depth is the corpus size
+    sketch.groupBy("d").agg(sum("cnt")).collect()
+      .foreach(r => r.getLong(1) shouldBe items.size.toLong)
+  }
+
   "hllEstimate" should "estimate 5000 distinct keys within 5%" in {
     val df = (keys ++ keys.take(1234)).map(("g", _)).toDF("grp", "tok") // dups free
       .withColumn("h", graft.functions.TextHash.strHash(col("tok")))
