@@ -99,6 +99,43 @@ object OracleSql {
    xor(b2, b2 >> 13) AS b3, (b3 * $Mix31C2) & $Mix31Mask AS b4,
    xor(b4, b4 >> 11) AS hm"""
 
+  /** SQ8 code CTE chain `c(vec_id, code)`: per-dim corpus min/max ranges,
+    * codes = floor(((x-mn)·255.0)/(mx-mn)) clamped to [0,255] — same
+    * double op order as AnnSearch.sq8Encode, so codes are bit-identical.
+    * Shared by q65, q66/q67 (via [[phashSigsCte]]) and q72. */
+  private def sq8Cte: String =
+    s"""d AS (SELECT unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i FROM embeddings),
+ mm AS (SELECT i, min(x) AS mn, max(x) AS mx FROM d GROUP BY i),
+ ar AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM mm),
+ c AS (SELECT vec_id, [CASE WHEN mxs[i] > mns[i]
+     THEN least(255, floor(((embedding[i]::DOUBLE - mns[i]::DOUBLE) * 255.0) / (mxs[i]::DOUBLE - mns[i]::DOUBLE))::BIGINT)
+     ELSE 0 END FOR i IN range(1, len(embedding)+1)] AS code
+  FROM embeddings, ar)"""
+
+  /** PQ assignment step: nearest codebook entry per (id, m) by exact
+    * integer squared L2, ties to lowest k. Expects `sv(id, m, sub)`. */
+  private def pqAssignSql(cents: String): String =
+    s"""(SELECT id, m, k FROM (
+   SELECT sv.id, sv.m, c.k,
+    row_number() OVER (PARTITION BY sv.id, sv.m ORDER BY
+      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        [(sv.sub[i+1]-c.cent[i+1])*(sv.sub[i+1]-c.cent[i+1]) FOR i IN range(0,$PqSubLen)]),
+        (a,v) -> a+v), c.k) AS rk
+   FROM sv JOIN $cents c ON sv.m = c.m) WHERE rk = 1)"""
+
+  /** PQ centroid update: round-half-up integer mean (2s+n)//(2n) per dim
+    * (non-negative — // matches Spark's div); empty entries keep the
+    * previous centroid. */
+  private def pqUpdateSql(assign: String, prev: String): String =
+    s"""(SELECT p.m, p.k, coalesce(u.cent, p.cent) AS cent
+  FROM $prev p LEFT JOIN (
+    SELECT m, k, list((2*s + n) // (2*n) ORDER BY pos) AS cent
+    FROM (SELECT m, k, pos, sum(cv) AS s, count(*) AS n
+          FROM (SELECT a.m AS m, a.k AS k, generate_subscripts(sv.sub,1) AS pos, unnest(sv.sub) AS cv
+                FROM sv JOIN $assign a ON a.id = sv.id AND a.m = sv.m)
+          GROUP BY m, k, pos)
+    GROUP BY m, k) u ON u.m = p.m AND u.k = p.k)"""
+
   /** Shared CTE chain computing the DCT pHash signature table
     * `sg(vec_id, phash_hi, phash_lo)` from the embeddings table: SQ8 codes
     * (same double op order as Spark → bit-identical), separable fixed-point
@@ -107,13 +144,7 @@ object OracleSql {
     * into (hi: 31 bits, lo: 32 bits). Used by q66 and q67. */
   private def phashSigsCte: String =
     s"""coef AS (SELECT ${graft.config.GoldenConfig.DctCoef.flatten.mkString("[", ", ", "]")} AS cf),
- d AS (SELECT unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i FROM embeddings),
- mm AS (SELECT i, min(x) AS mn, max(x) AS mx FROM d GROUP BY i),
- ar AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM mm),
- c AS (SELECT vec_id, [CASE WHEN mxs[i] > mns[i]
-     THEN least(255, floor(((embedding[i]::DOUBLE - mns[i]::DOUBLE) * 255.0) / (mxs[i]::DOUBLE - mns[i]::DOUBLE))::BIGINT)
-     ELSE 0 END FOR i IN range(1, len(embedding)+1)] AS code
-  FROM embeddings, ar),
+ $sq8Cte,
  g AS (SELECT vec_id, [list_reduce(list_prepend(CAST(0 AS BIGINT),
      [cf[(j//8)*8+x+1]*code[x*8+(j%8)+1] FOR x IN range(0,8)]), (a,v) -> a+v)
    FOR j IN range(0,64)] AS g FROM c, coef),
@@ -298,13 +329,7 @@ SELECT query_id, rank, neighbor_id FROM rk WHERE rank <= $AnnTopK ORDER BY query
     // as Spark → bit-identical codes); scores are integer quantized dot
     // products — float-free output
     "q65_sq8_ann_topk" ->
-      s"""WITH d AS (SELECT unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i FROM embeddings),
- mm AS (SELECT i, min(x) AS mn, max(x) AS mx FROM d GROUP BY i),
- ar AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM mm),
- c AS (SELECT vec_id, [CASE WHEN mxs[i] > mns[i]
-     THEN least(255, floor(((embedding[i]::DOUBLE - mns[i]::DOUBLE) * 255.0) / (mxs[i]::DOUBLE - mns[i]::DOUBLE))::BIGINT)
-     ELSE 0 END FOR i IN range(1, len(embedding)+1)] AS code
-  FROM embeddings, ar),
+      s"""WITH $sq8Cte,
  q AS (SELECT vec_id AS query_id, code AS qc FROM c WHERE vec_id < 10),
  s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
    list_reduce(list_prepend(CAST(0 AS BIGINT), [qc[i+1]*code[i+1] FOR i IN range(0, len(qc))]), (a,v) -> a+v) AS qdot
@@ -337,6 +362,33 @@ SELECT x.id AS a, y.id AS b,
 FROM u x JOIN u y ON x.id < y.id
 WHERE bit_count(xor(x.h, y.h)) + bit_count(xor(x.l, y.l)) <= 3
 ORDER BY a, b""",
+
+    // PQ-ADC ANN: per-subspace Lloyd's unrolled (3 iterations over all 8
+    // subspaces at once — m is a grouping column), round-half-up integer
+    // centroid means, exact integer L2 everywhere; adist = sum of the M
+    // per-subspace table entries of each neighbor's code
+    "q72_pq_ann_topk" ->
+      s"""WITH $sq8Cte,
+ sv AS (SELECT vec_id AS id, m, code[m*$PqSubLen+1:(m+1)*$PqSubLen] AS sub FROM c, (SELECT unnest(range($PqM)) AS m)),
+ k0 AS (SELECT code, (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS k FROM (SELECT vec_id, code FROM c ORDER BY vec_id LIMIT $PqK)),
+ c0 AS (SELECT m, k, code[m*$PqSubLen+1:(m+1)*$PqSubLen] AS cent FROM k0, (SELECT unnest(range($PqM)) AS m)),
+ a1 AS ${pqAssignSql("c0")},
+ c1 AS ${pqUpdateSql("a1", "c0")},
+ a2 AS ${pqAssignSql("c1")},
+ c2 AS ${pqUpdateSql("a2", "c1")},
+ a3 AS ${pqAssignSql("c2")},
+ c3 AS ${pqUpdateSql("a3", "c2")},
+ enc AS ${pqAssignSql("c3")},
+ qt AS (SELECT sv.id AS query_id, sv.m, c.k,
+   list_reduce(list_prepend(CAST(0 AS BIGINT),
+     [(sv.sub[i+1]-c.cent[i+1])*(sv.sub[i+1]-c.cent[i+1]) FOR i IN range(0,$PqSubLen)]),
+     (a,v) -> a+v) AS pd
+  FROM sv JOIN c3 c ON sv.m = c.m WHERE sv.id < 10),
+ s AS (SELECT qt.query_id, e.id AS neighbor_id, sum(qt.pd)::BIGINT AS adist
+   FROM enc e JOIN qt ON qt.m = e.m AND qt.k = e.k AND e.id <> qt.query_id
+   GROUP BY qt.query_id, e.id),
+ rk AS (SELECT query_id, neighbor_id, adist, row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id)::BIGINT AS rank FROM s)
+SELECT query_id, rank, neighbor_id, adist FROM rk WHERE rank <= $AnnTopK ORDER BY query_id, rank""",
 
     // As-of join via the union-merge window (identical algebra to the
     // Spark side; validated against DuckDB's correlated-subquery

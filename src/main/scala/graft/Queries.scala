@@ -253,6 +253,17 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** PQ-ADC ANN: the corpus compresses to 8×4-bit codebook indices (64×
+    * smaller than float32 — the 10^12-vector memory lever, paired with
+    * IVF's q40 list pruning); queries score it by per-query integer
+    * lookup tables. Training, codes and ranks are exact integers over the
+    * SQ8 codes, hash-matching the unrolled-Lloyd's DuckDB oracle. */
+  def pqAnnTopK(s: SparkSession, dir: String): DataFrame = {
+    val c = vecs(s, dir)
+    AnnSearch.pqTopK(c, c.where(col("id") < 10))
+      .orderBy("query_id", "rank")
+  }
+
   /** DCT perceptual-hash signatures over the embedding table: each 64-dim
     * vector becomes an 8×8 block under SQ8, then the fixed-point integer
     * DCT pHash (GoldenConfig.DctCoef — no cross-engine cos()) folds its 63

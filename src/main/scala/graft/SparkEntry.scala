@@ -81,7 +81,8 @@ object SparkEntry {
     "q68_asof_join" -> (Queries.asofJoinQ(_, _)),
     "q69_hll_registers" -> (Queries.hllRegistersQ(_, _)),
     "q70_countmin" -> (Queries.countMinQ(_, _)),
-    "q71_zorder" -> (Queries.zorderQ(_, _))
+    "q71_zorder" -> (Queries.zorderQ(_, _)),
+    "q72_pq_ann_topk" -> (Queries.pqAnnTopK(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -109,6 +109,13 @@ object GoldenConfig {
     Math.round(Math.cos(Math.PI * (2 * x + 1) * u / 16.0) * DctScale.toDouble)
   }
 
+  /** Product quantization geometry: M subspaces of SubLen dims (d = 64),
+    * K centroids per subspace (4-bit codes), Lloyd's iterations. */
+  val PqM: Int = 8
+  val PqSubLen: Int = 8
+  val PqK: Int = 16
+  val PqIters: Int = 3
+
   /** 31-bit xorshift-multiply finalizer (murmur-style avalanche masked to
     * 31 bits, two rounds): decorrelates the STRUCTURED base-31 polynomial
     * strHash before any use that reads individual BITS (HLL rho/bucket).

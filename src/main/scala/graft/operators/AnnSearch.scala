@@ -425,4 +425,106 @@ object AnnSearch {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("qdot"))
   }
+
+  // ---- PQ (product quantization, Jégou et al. 2011) over SQ8 codes —
+  // the other half of the IVF-PQ architecture that serves 10^12 vectors:
+  // each vector compresses to M log2(K)-bit codes (here 8×4 bits = 4
+  // bytes vs 256 float bytes, 64×), and a query scores the WHOLE corpus
+  // by per-query M×K lookup tables (ADC) — integer adds, no per-pair
+  // float math, corpus never shuffled. Everything below is exact integer
+  // arithmetic on the pinned SQ8 codes: centroid updates divide by
+  // round-half-up integral division (div of non-negatives — identical to
+  // DuckDB's //), so training, codes, tables and ranks all hash-match.
+
+  /** Subvector struct array of an SQ8 code column: [(m, sub)] with
+    * sub = code[m·s+1 .. (m+1)·s], s = PqSubLen. */
+  private def pqSubArr(code: Column): Column =
+    transform(sequence(lit(0), lit(PqM - 1)), m =>
+      struct(m.cast("long").as("m"),
+        slice(code, m * PqSubLen + 1, lit(PqSubLen)).as("sub")))
+
+  /** (id, m, sub) rows of a code table. */
+  def pqSubvectors(codes: DataFrame): DataFrame =
+    codes.select(col("id"), explode(pqSubArr(col("code"))).as("e"))
+      .select(col("id"), col("e.m").as("m"), col("e.sub").as("sub"))
+
+  /** Exact integer squared L2 between two equal-length code arrays. */
+  private def l2i(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+
+  /** Nearest codebook entry per (id, m): min (d2, k) — ties to lowest k.
+    * The codebook is M·K rows and broadcasts; assignment is one scan. */
+  def pqAssign(sv: DataFrame, cents: DataFrame): DataFrame =
+    sv.join(broadcast(cents), "m")
+      .select(col("id"), col("m"), col("k"), l2i(col("sub"), col("cent")).as("d2"))
+      .groupBy("id", "m")
+      .agg(min(struct(col("d2"), col("k"))).as("best"))
+      .select(col("id"), col("m"), col("best.k").as("k"))
+
+  /** Per-subspace Lloyd's over the code table: init = subvectors of the
+    * first K ids, then `iters` rounds of assign + round-half-up integer
+    * mean (an empty codebook entry keeps its previous centroid). All M
+    * subspaces train in the same jobs — m is just a grouping column. */
+  def pqTrain(codes: DataFrame, iters: Int = PqIters): DataFrame = {
+    val sv = pqSubvectors(codes)
+    var cents = codes.orderBy("id").limit(PqK)
+      .select(col("code"), (row_number().over(Window.orderBy("id")) - 1).cast("long").as("k"))
+      .select(col("k"), explode(pqSubArr(col("code"))).as("e"))
+      .select(col("e.m").as("m"), col("k"), col("e.sub").as("cent"))
+      .localCheckpoint(false)
+    (1 to iters).foreach { _ =>
+      val upd = sv.join(pqAssign(sv, cents), Seq("id", "m"))
+        .select(col("m"), col("k"), posexplode(col("sub")).as(Seq("pos", "cv")))
+        .groupBy("m", "k", "pos")
+        .agg(sum("cv").as("s"), count(lit(1)).as("n"))
+        .groupBy("m", "k")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("s"), col("n")))),
+          e => call_function("div", e("s") * 2L + e("n"), e("n") * 2L)).as("newCent"))
+      cents = cents.join(upd, Seq("m", "k"), "left")
+        .select(col("m"), col("k"), coalesce(col("newCent"), col("cent")).as("cent"))
+        .localCheckpoint(false)
+    }
+    cents
+  }
+
+  /** (id, pqcode: array of M codebook indices) — the 4-byte compressed
+    * corpus representation. */
+  def pqEncode(codes: DataFrame, cents: DataFrame): DataFrame =
+    pqAssign(pqSubvectors(codes), cents)
+      .groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("k")))),
+        e => e("k")).as("pqcode"))
+
+  /** PQ-ADC top-k: queries' SQ8 subvectors build per-query M×K distance
+    * tables against the trained codebook (tiny — broadcast); the encoded
+    * corpus is scored map-side by M table lookups per row and the usual
+    * per-query top-k window ranks. Ascending approximate distance, ties
+    * by neighbor id; queries must be corpus members (scored vs all
+    * others), mirroring [[sq8TopK]].
+    * @return (query_id, rank, neighbor_id, adist) */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int = AnnTopK): DataFrame = {
+    val codes = sq8Encode(corpus).localCheckpoint(false)
+    val cents = pqTrain(codes)
+    val enc = pqEncode(codes, cents)
+    val qIds = queries.select(col("id").as("query_id"))
+    val qsv = pqSubvectors(codes.join(qIds, codes("id") === qIds("query_id"))
+      .select(col("query_id").as("id"), col("code")))
+    val tbl = qsv.join(broadcast(cents), "m")
+      .select(col("id").as("query_id"),
+        (col("m") * PqK + col("k")).as("slot"), l2i(col("sub"), col("cent")).as("pd"))
+      .groupBy("query_id")
+      .agg(transform(array_sort(collect_list(struct(col("slot"), col("pd")))),
+        e => e("pd")).as("tbl"))
+    val scored = enc.select(col("id").as("neighbor_id"), col("pqcode"))
+      .crossJoin(broadcast(tbl))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(sequence(lit(0), lit(PqM - 1)), lit(0L), (acc, m) =>
+          acc + element_at(col("tbl"),
+            (m * PqK + element_at(col("pqcode"), m + 1) + 1).cast("int"))).as("adist"))
+    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adist"))
+  }
 }

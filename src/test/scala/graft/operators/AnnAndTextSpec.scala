@@ -582,4 +582,38 @@ class AnnAndTextSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     out.groupBy(_._2._1).foreach { case (_, m) => m.count(_._2._2) shouldBe 1 }
     out.groupBy(_._2._1).count(_._2.size > 1) should be >= 2
   }
+
+  "pqTopK" should "retrieve planted near-duplicates at rank 1 through the 4-byte codes" in {
+    // 64-dim corpus (PQ geometry: 8 subspaces x 8 dims) with planted dups
+    val rnd = new scala.util.Random(graft.config.GoldenConfig.Seed)
+    val base = (0 until 300).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat).toSeq))
+    val dups = base.take(80).map { case (i, v) =>
+      (i + 100000L, v.map(x => x + 0.15f * rnd.nextGaussian().toFloat)) }
+    val corpus = (base ++ dups).toDF("id", "vec")
+    val queries = corpus.where(col("id") >= 100000L)
+    val top = AnnSearch.pqTopK(corpus, queries)
+    val hits = top.where(col("rank") === 1L &&
+      col("neighbor_id") === col("query_id") - 100000L).count()
+    info(f"PQ-ADC true-NN@1 recall = ${hits.toDouble / 80}%.3f ($hits/80)")
+    hits.toDouble / 80 should be >= 0.9
+    // exactly k rows per query, distances non-negative and rank-monotone
+    top.groupBy("query_id").count().collect().foreach(_.getLong(1) shouldBe 5L)
+    val byQ = top.collect().groupBy(_.getLong(0))
+    byQ.values.foreach { rs =>
+      val ds = rs.sortBy(_.getLong(1)).map(_.getLong(3))
+      ds.foreach(_ should be >= 0L)
+      ds.sliding(2).foreach { case Array(a, b) => a should be <= b; case _ => }
+    }
+  }
+
+  it should "be layout-independent (repartitioned corpus gives identical ranks)" in {
+    val emb = realEmb
+    val q = emb.where(col("id") < 5)
+    val a = AnnSearch.pqTopK(emb, q).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val b = AnnSearch.pqTopK(emb.repartition(13), q).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    a shouldBe b
+  }
 }
