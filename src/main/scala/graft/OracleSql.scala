@@ -390,6 +390,17 @@ ORDER BY a, b""",
  rk AS (SELECT query_id, neighbor_id, adist, row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id)::BIGINT AS rank FROM s)
 SELECT query_id, rank, neighbor_id, adist FROM rk WHERE rank <= $AnnTopK ORDER BY query_id, rank""",
 
+    // Range join oracle = the RAW inequality join (quadratic is fine at
+    // oracle scale); a hash match proves the Spark side's chunked
+    // equi-join form is lossless. Half-open [ts, ts+1h).
+    "q73_range_join" ->
+      """SELECT p.event_id, a.event_id AS anchor_id
+FROM events p JOIN (SELECT user_id, event_id, epoch_us(ts) AS st
+                    FROM events WHERE event_type = 'purchase') a
+ ON p.user_id = a.user_id
+ AND epoch_us(p.ts) >= a.st AND epoch_us(p.ts) < a.st + 3600000000
+ORDER BY 1, 2""",
+
     // As-of join via the union-merge window (identical algebra to the
     // Spark side; validated against DuckDB's correlated-subquery
     // formulation — greatest o_orderdate <= ts, ties by max o_orderkey)

@@ -341,6 +341,25 @@ object Queries {
         ZOrder.zKey(col("o_custkey"), col("o_orderkey")).as("z"))
       .orderBy("o_orderkey")
 
+  /** Bucketed range (interval) join: every purchase event opens a 1-hour
+    * [ts, ts+1h) window per user; all events of that user inside the
+    * window attach to it. The chunked equi-join shape (≤2 chunks per
+    * interval) replaces the per-key cartesian an inequality join would
+    * plan; the oracle IS the raw inequality join, so a hash match proves
+    * the bucketing loses nothing. */
+  def rangeJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600000000L
+    val ev = tbl(s, dir, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts").cast("timestamp")).as("pt"))
+    val iv = tbl(s, dir, "events").where(col("event_type") === "purchase")
+      .select(col("event_id").as("anchor_id"), col("user_id").as("a_user"),
+        unix_micros(col("ts").cast("timestamp")).as("st"),
+        (unix_micros(col("ts").cast("timestamp")) + hourUs).as("en"))
+    RangeJoin.pointInInterval(ev, "user_id", "pt", iv, "a_user", "st", "en", hourUs)
+      .select(col("event_id"), col("anchor_id"))
+      .orderBy("event_id", "anchor_id")
+  }
+
   /** Embedding-cosine near-dup pairs (bucketed candidates + exact cosine
     * threshold; τ pinned to 0.4 for the synthetic embeddings — their max
     * pairwise cosine is 0.47, so a production-like 0.95 matches nothing). */

@@ -82,7 +82,8 @@ object SparkEntry {
     "q69_hll_registers" -> (Queries.hllRegistersQ(_, _)),
     "q70_countmin" -> (Queries.countMinQ(_, _)),
     "q71_zorder" -> (Queries.zorderQ(_, _)),
-    "q72_pq_ann_topk" -> (Queries.pqAnnTopK(_, _))
+    "q72_pq_ann_topk" -> (Queries.pqAnnTopK(_, _)),
+    "q73_range_join" -> (Queries.rangeJoinQ(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
