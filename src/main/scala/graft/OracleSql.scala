@@ -401,6 +401,20 @@ FROM events p JOIN (SELECT user_id, event_id, epoch_us(ts) AS st
  AND epoch_us(p.ts) >= a.st AND epoch_us(p.ts) < a.st + 3600000000
 ORDER BY 1, 2""",
 
+    // Exact lower-rank percentiles over the (source, value) histogram:
+    // smallest value whose cumulative count reaches ceil(p*n/100)
+    "q74_percentiles" ->
+      """WITH h AS (SELECT source, n_chars, count(*) AS c FROM documents GROUP BY 1, 2),
+ nn AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+ cum AS (SELECT h.source, h.n_chars,
+   sum(c) OVER (PARTITION BY h.source ORDER BY h.n_chars) AS cum, nn.n
+  FROM h JOIN nn USING (source))
+SELECT source,
+ min(CASE WHEN cum >= (50*n + 99)//100 THEN n_chars END)::BIGINT AS p50,
+ min(CASE WHEN cum >= (90*n + 99)//100 THEN n_chars END)::BIGINT AS p90,
+ min(CASE WHEN cum >= (99*n + 99)//100 THEN n_chars END)::BIGINT AS p99
+FROM cum GROUP BY source ORDER BY source""",
+
     // As-of join via the union-merge window (identical algebra to the
     // Spark side; validated against DuckDB's correlated-subquery
     // formulation — greatest o_orderdate <= ts, ties by max o_orderkey)

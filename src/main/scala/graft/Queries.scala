@@ -360,6 +360,17 @@ object Queries {
       .orderBy("event_id", "anchor_id")
   }
 
+  /** Exact per-source percentiles (p50/p90/p99 of n_chars) the scale-safe
+    * way: a (source, value) histogram agg (map-side combining, domain- not
+    * row-sized), a running sum over VALUES (window partitions bounded by
+    * the value domain, never by corpus rows), then the smallest value whose
+    * cumulative count reaches ceil(p·n/100) — the lower-rank percentile,
+    * integer-exact (no percentile_approx sketch drift cross-engine). */
+  def percentilesQ(s: SparkSession, dir: String): DataFrame =
+    Percentiles.exactPercentiles(docs(s, dir), "source", "n_chars",
+        Seq(50, 90, 99))
+      .orderBy("source")
+
   /** Embedding-cosine near-dup pairs (bucketed candidates + exact cosine
     * threshold; τ pinned to 0.4 for the synthetic embeddings — their max
     * pairwise cosine is 0.47, so a production-like 0.95 matches nothing). */

@@ -83,7 +83,8 @@ object SparkEntry {
     "q70_countmin" -> (Queries.countMinQ(_, _)),
     "q71_zorder" -> (Queries.zorderQ(_, _)),
     "q72_pq_ann_topk" -> (Queries.pqAnnTopK(_, _)),
-    "q73_range_join" -> (Queries.rangeJoinQ(_, _))
+    "q73_range_join" -> (Queries.rangeJoinQ(_, _)),
+    "q74_percentiles" -> (Queries.percentilesQ(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact grouped percentiles at corpus scale, without sorting rows: a
+  * (group, value) histogram agg (map-side combining — the shuffle is
+  * domain-sized, not row-sized), a running sum over the VALUE histogram
+  * (window partitions bounded by distinct values per group, never by row
+  * count — no viral-group window task), then the lower-rank pick: the
+  * smallest value whose cumulative count reaches ceil(p·n/100). Integer
+  * in, integer out — none of percentile_approx's sketch nondeterminism,
+  * so results hash-match any engine that implements the same definition.
+  *
+  * Suited to bounded-domain metrics (lengths, counts, scores, latencies
+  * in ms): cost scales with distinct values, not rows. For truly
+  * continuous domains, quantize first.
+  */
+object Percentiles {
+
+  /** @param ps percentages in (0, 100]; output columns are named `p<P>`.
+    * @return one row per group: (groupCol, p<P1>, p<P2>, ...) */
+  def exactPercentiles(df: DataFrame, groupCol: String, valueCol: String,
+                       ps: Seq[Int]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 100))
+    val h = df.groupBy(groupCol, valueCol).agg(count(lit(1)).as("c"))
+    val n = df.groupBy(groupCol).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(groupCol).orderBy(valueCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h.withColumn("cum", sum("c").over(w)).join(n, groupCol)
+    val picks = ps.map(p =>
+      min(when(col("cum") >= expr(s"($p * n + 99) div 100"),
+        col(valueCol).cast("long"))).as(s"p$p"))
+    cum.groupBy(groupCol).agg(picks.head, picks.tail: _*)
+  }
+}
