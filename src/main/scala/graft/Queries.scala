@@ -15,6 +15,20 @@ import graft.operators._
   */
 object Queries {
 
+  /** Feed the cores: a small parquet (one row group) scans as ONE
+    * partition, and a compute-bound map pipeline downstream of it runs on
+    * one core no matter how many the session has (measured: 9 s
+    * single-core vs ~1 s spread, sf0.1). Repartition ONLY when the scan
+    * has fewer splits than cores — at real scale inputs arrive in
+    * thousands of splits and this is a no-op. Applied at SPECIFIC
+    * compute-bound call sites, not in the loaders: a blanket loader
+    * rebalance re-pays the exchange at every re-reference inside
+    * iterative queries (CC, k-means) — measured +12 s across the suite. */
+  private def balanced(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
+
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
   private def emb(spark: SparkSession, dir: String): DataFrame =
@@ -35,7 +49,7 @@ object Queries {
       .orderBy("token")
 
   def shingleStats(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"),
+    balanced(docs(s, dir)).select(col("doc_id"),
       size(shingles(tokens(col("text")))).cast("long").as("n_shingles"))
       .orderBy("doc_id")
 
@@ -317,7 +331,7 @@ object Queries {
   def hllRegistersQ(s: SparkSession, dir: String): DataFrame =
     Sketches.hllRegisters(
         docs(s, dir).select(col("source"), explode(tokens(col("text"))).as("tok"))
-          .withColumn("h", TextHash.strHash(col("tok"))),
+          .withColumn("h", functions.GraftExpressions.strHash(col("tok"))),
         "source", col("h"))
       .select(col("grp").as("source"), col("bucket"), col("register"))
       .orderBy("source", "bucket")
@@ -327,8 +341,11 @@ object Queries {
     * addition, O(depth·width) shuffle regardless of distinct-token count. */
   def countMinQ(s: SparkSession, dir: String): DataFrame =
     Sketches.countMin(
-        docs(s, dir).select(explode(tokens(col("text"))).as("tok"))
-          .withColumn("h", TextHash.strHash(col("tok"))),
+        balanced(docs(s, dir)).select(explode(tokens(col("text"))).as("tok"))
+          // the codegen kernel hash: cmCells references it CmDepth times,
+          // and the interpreted char-fold builtin inlined 4× was 10 s at
+          // sf0.1 vs ~1 s compiled (README "custom Catalyst expressions")
+          .withColumn("h", functions.GraftExpressions.strHash(col("tok"))),
         col("h"))
       .orderBy("d", "bucket")
 

@@ -53,24 +53,27 @@ object PerceptualHash {
     element_at(transform(array(v), body), 1)
 
   /** Row-pass DCT: g(u,y) = Σ_x C(u)(x)·p(x,y), flattened as g[8u+y].
-    * `block` must be a 64-length numeric array (0-based p[x,y] = block[8x+y]). */
-  private def rowPass(block: Column): Column =
+    * `block` must be a 64-length numeric array (0-based p[x,y] = block[8x+y]).
+    * `cf` must be a let-bound reference to [[cfLit]] — as a raw CreateArray
+    * it would re-materialize the 64-literal array at every one of the 512
+    * interpreted element_at references. */
+  private def rowPass(block: Column, cf: Column): Column =
     transform(sequence(lit(0), lit(63)), j => {
       val u = shiftright(j, 3)
       val y = j.bitwiseAND(lit(7))
       aggregate(sequence(lit(0), lit(7)), lit(0L), (acc, x) =>
-        acc + element_at(cfLit, u * 8 + x + 1) *
+        acc + element_at(cf, u * 8 + x + 1) *
           element_at(block, x * 8 + y + 1).cast("long"))
     })
 
   /** Column-pass DCT over the row-pass output: F(u,v) = Σ_y C(v)(y)·g(u,y),
     * flattened as f[8u+v]. */
-  private def colPass(g: Column): Column =
+  private def colPass(g: Column, cf: Column): Column =
     transform(sequence(lit(0), lit(63)), j => {
       val u = shiftright(j, 3)
       val v = j.bitwiseAND(lit(7))
       aggregate(sequence(lit(0), lit(7)), lit(0L), (acc, y) =>
-        acc + element_at(cfLit, v * 8 + y + 1) * element_at(g, u * 8 + y + 1))
+        acc + element_at(cf, v * 8 + y + 1) * element_at(g, u * 8 + y + 1))
     })
 
   /** The full pHash of one 64-length 0..255 block as a
@@ -79,17 +82,25 @@ object PerceptualHash {
     * eval-once expression: per row a fixed ~1.2k integer ops regardless
     * of how the optimizer rearranges projections. Map-side at any corpus
     * size, no shuffle, no UDF. */
-  def dctHash(block: Column): Column =
-    bindLet(rowPass(block)) { g =>
-      bindLet(colPass(g)) { f =>
-        // lower median of the 63 AC coefficients (f[1] is DC)
-        bindLet(element_at(array_sort(slice(f, 2, 63)), 32)) { med =>
-          def fold(lo: Int, hi: Int): Column =
-            aggregate(sequence(lit(lo), lit(hi)), lit(0L), (acc, i) =>
-              acc * 2L + when(element_at(f, i) > med, 1L).otherwise(0L))
-          struct(fold(2, 32).as("phash_hi"), fold(33, 64).as("phash_lo"))
+  def dctHash(block0: Column): Column =
+    // bind the INPUT too: if the caller's block is itself a computed
+    // expression (e.g. sq8Encode's zip_with after CollapseProject merges
+    // the projections), the row pass's 512 element_at references would
+    // re-evaluate it 512 times per row (measured: 13 ms/row → ~0.1 ms/row)
+    bindLet(block0) { block =>
+    bindLet(cfLit) { cf =>
+      bindLet(rowPass(block, cf)) { g =>
+        bindLet(colPass(g, cf)) { f =>
+          // lower median of the 63 AC coefficients (f[1] is DC)
+          bindLet(element_at(array_sort(slice(f, 2, 63)), 32)) { med =>
+            def fold(lo: Int, hi: Int): Column =
+              aggregate(sequence(lit(lo), lit(hi)), lit(0L), (acc, i) =>
+                acc * 2L + when(element_at(f, i) > med, 1L).otherwise(0L))
+            struct(fold(2, 32).as("phash_hi"), fold(33, 64).as("phash_lo"))
+          }
         }
       }
+    }
     }
 
   /** (id, phash_hi, phash_lo) signatures for a corpus of 64-length 0..255
@@ -122,7 +133,11 @@ object PerceptualHash {
       (c * per until hi).map(bitAt).foldLeft(lit(0L))((acc, b) => acc * 2L + b)
         .as(s"_ch$c")
     }
+    // materialize once: the 4 chunk-join branches each reference this
+    // table twice, and re-deriving it would re-run the whole upstream
+    // signature pipeline (range aggs + interpreted DCT) 8 times over
     val keyed = sigs.select(col("id") +: col("phash_hi") +: col("phash_lo") +: chunkCols: _*)
+      .localCheckpoint(false)
     val cand = (0 until chunks).map { c =>
       keyed.select(col(s"_ch$c").as("_k"), col("id").as("a"),
           col("phash_hi").as("ha"), col("phash_lo").as("la"))

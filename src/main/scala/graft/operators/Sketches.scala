@@ -47,6 +47,12 @@ object Sketches {
     * be distinct — max is idempotent, duplicates cost nothing extra.
     * The hash is [[mix31]]-finalized internally. */
   def hllRegisters(df: DataFrame, groupCol: String, hashCol: Column): DataFrame = {
+    // NOTE: h and w are deliberately PLAIN duplicated bitwise trees, not
+    // let-bound: everything here is codegen-friendly scalar algebra, and
+    // wrapping it in a single-element transform (a CodegenFallback HOF)
+    // measured 3× SLOWER. Let-binding pays only when the duplicated
+    // subtree is itself expensive/interpreted — pass a cheap attribute or
+    // kernel-hashed column as hashCol.
     val h = mix31(hashCol.cast("long"))
     val w = shiftright(h, HllP)
     val rho = when(w === 0L, lit(HllMaxRho.toLong))
@@ -77,12 +83,17 @@ object Sketches {
     * cells. Estimate(item) = min over depths of its cell (always ≥ truth;
     * tight for heavy hitters). Returns (d, bucket, cnt) — only occupied
     * cells; absent cells are zero. */
+  /** Explode-FIRST shape on purpose: `explode` of a LITERAL depth array
+    * is a trivial Generate, and the bucket math lands in the plain
+    * projection AFTER it, where it whole-stage-compiles. The tempting
+    * inverse — explode(array of computed (d, bucket) structs) — puts the
+    * computed array inside Generate, which evaluates its input
+    * INTERPRETED (measured 9 s vs ~1 s at sf0.1 token volume). */
   def countMin(df: DataFrame, itemHashCol: Column): DataFrame =
-    df.select(explode(transform(sequence(lit(0), lit(CmDepth - 1)),
-        d => struct(d.cast("long").as("d"),
-          cmBucket(itemHashCol.cast("long"), d.cast("long")).as("bucket"))))
-        .as("cell"))
-      .groupBy(col("cell.d").as("d"), col("cell.bucket").as("bucket"))
+    df.select(itemHashCol.cast("long").as("_h"))
+      .select(col("_h"), explode(lit((0 until CmDepth).map(_.toLong).toArray)).as("d"))
+      .select(col("d"), cmBucket(col("_h"), col("d")).as("bucket"))
+      .groupBy("d", "bucket")
       .agg(count(lit(1)).as("cnt"))
 
   /** Point-query the sketch: min over depths of each probe's cell. Probes
@@ -90,13 +101,11 @@ object Sketches {
     * is broadcast-sized (≤ depth·width rows). */
   def cmEstimate(sketch: DataFrame, probes: DataFrame,
                  probeCol: String, hashCol: String): DataFrame =
-    probes.select(col(probeCol).as("probe"),
-        explode(transform(sequence(lit(0), lit(CmDepth - 1)),
-          d => struct(d.cast("long").as("d"),
-            cmBucket(col(hashCol).cast("long"), d.cast("long")).as("bucket"))))
-          .as("cell"))
-      .join(broadcast(sketch), col("cell.d") === sketch("d") &&
-        col("cell.bucket") === sketch("bucket"), "left")
+    probes.select(col(probeCol).as("probe"), col(hashCol).cast("long").as("_h"))
+      .select(col("probe"), col("_h"),
+        explode(lit((0 until CmDepth).map(_.toLong).toArray)).as("d"))
+      .select(col("probe"), col("d"), cmBucket(col("_h"), col("d")).as("bucket"))
+      .join(broadcast(sketch), Seq("d", "bucket"), "left")
       .groupBy("probe")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("estimate"))
 
