@@ -112,6 +112,28 @@ object OracleSql {
      ELSE 0 END FOR i IN range(1, len(embedding)+1)] AS code
   FROM embeddings, ar)"""
 
+  /** Brute-force cosine top-k (q17's oracle; also the first fusion leg
+    * of q75 — CTE bodies may carry their own WITH). */
+  private def q17Sql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+ s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+   list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [qv[i+1]::DOUBLE * embedding[i+1]::DOUBLE FOR i IN range(0, len(qv))]), (a,v) -> a+v)
+   / sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [qv[i+1]::DOUBLE * qv[i+1]::DOUBLE FOR i IN range(0, len(qv))]), (a,v) -> a+v))
+   / sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE FOR i IN range(0, len(embedding))]), (a,v) -> a+v)) AS cos
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+ rk AS (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)::BIGINT AS rank FROM s)
+SELECT query_id, rank, neighbor_id FROM rk WHERE rank <= $AnnTopK ORDER BY query_id, rank"""
+
+  /** SQ8 quantized top-k (q65's oracle; second fusion leg of q75). */
+  private def q65Sql: String =
+    s"""WITH $sq8Cte,
+ q AS (SELECT vec_id AS query_id, code AS qc FROM c WHERE vec_id < 10),
+ s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+   list_reduce(list_prepend(CAST(0 AS BIGINT), [qc[i+1]*code[i+1] FOR i IN range(0, len(qc))]), (a,v) -> a+v) AS qdot
+  FROM q JOIN c ON c.vec_id <> q.query_id),
+ rk AS (SELECT query_id, neighbor_id, qdot, row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, neighbor_id)::BIGINT AS rank FROM s)
+SELECT query_id, rank, neighbor_id, qdot FROM rk WHERE rank <= $AnnTopK ORDER BY query_id, rank"""
+
   /** PQ assignment step: nearest codebook entry per (id, m) by exact
     * integer squared L2, ties to lowest k. Expects `sv(id, m, sub)`. */
   private def pqAssignSql(cents: String): String =
@@ -314,28 +336,28 @@ SELECT x.doc_id AS a, y.doc_id AS b,
  (least(len(x.ts), len(y.ts))*1000) // greatest(len(x.ts), len(y.ts)) AS relnum_millis
 FROM t x JOIN t y ON x.doc_id < y.doc_id ORDER BY a, b""",
 
-    "q17_ann_topk" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
- s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
-   list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [qv[i+1]::DOUBLE * embedding[i+1]::DOUBLE FOR i IN range(0, len(qv))]), (a,v) -> a+v)
-   / sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [qv[i+1]::DOUBLE * qv[i+1]::DOUBLE FOR i IN range(0, len(qv))]), (a,v) -> a+v))
-   / sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE FOR i IN range(0, len(embedding))]), (a,v) -> a+v)) AS cos
-  FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
- rk AS (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)::BIGINT AS rank FROM s)
-SELECT query_id, rank, neighbor_id FROM rk WHERE rank <= $AnnTopK ORDER BY query_id, rank""",
+    "q17_ann_topk" -> q17Sql,
 
     // SQ8 scalar-quantized ANN: codes = floor(((x-mn)*255.0)/(mx-mn))
     // clamped to [0,255] over per-dim corpus min/max (same double op order
     // as Spark → bit-identical codes); scores are integer quantized dot
     // products — float-free output
-    "q65_sq8_ann_topk" ->
-      s"""WITH $sq8Cte,
- q AS (SELECT vec_id AS query_id, code AS qc FROM c WHERE vec_id < 10),
- s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
-   list_reduce(list_prepend(CAST(0 AS BIGINT), [qc[i+1]*code[i+1] FOR i IN range(0, len(qc))]), (a,v) -> a+v) AS qdot
-  FROM q JOIN c ON c.vec_id <> q.query_id),
- rk AS (SELECT query_id, neighbor_id, qdot, row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, neighbor_id)::BIGINT AS rank FROM s)
-SELECT query_id, rank, neighbor_id, qdot FROM rk WHERE rank <= $AnnTopK ORDER BY query_id, rank""",
+    "q65_sq8_ann_topk" -> q65Sql,
+
+    // Reciprocal-rank fusion (hybrid retrieval): the brute-force cosine
+    // list and the SQ8 quantized list fuse by integer RRF scores
+    // floor(1e9 / (60 + rank)) — engine-identical floor division on
+    // positives, so the fused ranking hashes exactly
+    "q75_rrf_fusion" ->
+      s"""WITH bf AS ($q17Sql),
+ sq AS ($q65Sql),
+ u AS (SELECT query_id, neighbor_id, rank FROM bf
+   UNION ALL SELECT query_id, neighbor_id, rank FROM sq),
+ sc AS (SELECT query_id, neighbor_id, sum(1000000000 // (60 + rank))::BIGINT AS rrf
+  FROM u GROUP BY 1, 2),
+ rk AS (SELECT query_id, neighbor_id, rrf,
+   row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, neighbor_id)::BIGINT AS rank FROM sc)
+SELECT query_id, rank, neighbor_id, rrf FROM rk WHERE rank <= $AnnTopK ORDER BY query_id, rank""",
 
     // DCT perceptual hash over SQ8 8x8 blocks: the fixed-point DCT basis
     // is interpolated from GoldenConfig.DctCoef (integers pinned at build

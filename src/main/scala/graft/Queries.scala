@@ -278,6 +278,18 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** Reciprocal-rank fusion of the exact cosine list and the SQ8
+    * quantized list — hybrid retrieval with integer-exact
+    * floor(1e9/(60+rank)) scores. */
+  def rrfFusionQ(s: SparkSession, dir: String): DataFrame = {
+    val c = vecs(s, dir)
+    val q = c.where(col("id") < 10)
+    AnnSearch.rrfFuse(Seq(
+        AnnSearch.bruteForceTopK(c, q),
+        AnnSearch.sq8TopK(c, q)))
+      .orderBy("query_id", "rank")
+  }
+
   /** DCT perceptual-hash signatures over the embedding table: each 64-dim
     * vector becomes an 8×8 block under SQ8, then the fixed-point integer
     * DCT pHash (GoldenConfig.DctCoef — no cross-engine cos()) folds its 63

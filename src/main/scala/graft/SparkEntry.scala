@@ -84,7 +84,8 @@ object SparkEntry {
     "q71_zorder" -> (Queries.zorderQ(_, _)),
     "q72_pq_ann_topk" -> (Queries.pqAnnTopK(_, _)),
     "q73_range_join" -> (Queries.rangeJoinQ(_, _)),
-    "q74_percentiles" -> (Queries.percentilesQ(_, _))
+    "q74_percentiles" -> (Queries.percentilesQ(_, _)),
+    "q75_rrf_fusion" -> (Queries.rrfFusionQ(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

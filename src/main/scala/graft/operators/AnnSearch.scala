@@ -426,6 +426,26 @@ object AnnSearch {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("qdot"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the hybrid-retrieval
+    * combiner: each ranked list (query_id, rank, neighbor_id, ...)
+    * contributes floor(10^9 / (rrfK + rank)) to a neighbor's score and
+    * the fused list re-ranks by total. Integer floor division on
+    * positives keeps the fusion exactly hashable cross-engine (the usual
+    * 1/(k+r) floats drift). Lists are rank-truncated already, so the
+    * fusion input is O(queries · k · lists) — driver-scale tiny; the
+    * heavy lifting stays in the individual retrievers.
+    * @return (query_id, rank, neighbor_id, rrf) */
+  def rrfFuse(lists: Seq[DataFrame], k: Int = AnnTopK, rrfK: Int = 60): DataFrame = {
+    require(lists.nonEmpty)
+    val u = lists.map(_.select("query_id", "neighbor_id", "rank")).reduce(_ unionByName _)
+    val scored = u.groupBy("query_id", "neighbor_id")
+      .agg(sum(call_function("div", lit(1000000000L), lit(rrfK.toLong) + col("rank"))).as("rrf"))
+    val w = Window.partitionBy("query_id").orderBy(col("rrf").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("rrf"))
+  }
+
   // ---- PQ (product quantization, Jégou et al. 2011) over SQ8 codes —
   // the other half of the IVF-PQ architecture that serves 10^12 vectors:
   // each vector compresses to M log2(K)-bit codes (here 8×4 bits = 4

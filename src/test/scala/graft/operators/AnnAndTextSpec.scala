@@ -607,6 +607,19 @@ class AnnAndTextSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     }
   }
 
+  "rrfFuse" should "fuse ranked lists by integer reciprocal-rank scores" in {
+    // list A ranks: n1=1, n2=2; list B ranks: n2=1, n3=2
+    val a = Seq((1L, 10L, 1L), (1L, 20L, 2L)).toDF("query_id", "neighbor_id", "rank")
+    val b = Seq((1L, 20L, 1L), (1L, 30L, 2L)).toDF("query_id", "neighbor_id", "rank")
+    val out = AnnSearch.rrfFuse(Seq(a, b), k = 3).orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    def f(r: Long) = 1000000000L / (60L + r)
+    out shouldBe Array(
+      (1L, 20L, f(2) + f(1)), // in both lists → must win
+      (2L, 10L, f(1)),
+      (3L, 30L, f(2)))
+  }
+
   it should "be layout-independent (repartitioned corpus gives identical ranks)" in {
     val emb = realEmb
     val q = emb.where(col("id") < 5)
