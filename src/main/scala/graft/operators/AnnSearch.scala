@@ -208,6 +208,35 @@ object AnnSearch {
   private def quantized(v: Column): Column =
     round(v.cast("double") * IvfQuantScale).cast("long")
 
+  /** Embedding dimensionality probe: one `head()` of one row — a
+    * metadata-scale driver scalar (the same class of decision as
+    * SkewSalting's hot-key probe), paid once per operator call so the
+    * centroid/range aggregations below can be FIXED-WIDTH column lists
+    * (one shuffle, no posexplode fan-out) for any dimension. */
+  private def dimOf(corpus: DataFrame): Int =
+    corpus.select(size(col("vec")).as("d")).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(0)
+
+  /** The centroid table gathered into ONE broadcastable row
+    * (_cents: array<struct<cid, cvec>> in cid order) — the shape that lets
+    * assignment run as a per-row fold instead of a crossJoin + groupBy
+    * re-shuffle of the corpus (guide §2.4: remove shuffles outright). */
+  private def centsRow(centroids: DataFrame): DataFrame =
+    centroids.groupBy()
+      .agg(array_sort(collect_list(struct(col("cid"), col("cvec")))).as("_cents"))
+
+  /** Per-row argmax over the gathered centroid array: fold with
+    * greatest(struct(score, -cid)) — the same (score, ncid) lexicographic
+    * ordering as the previous max(struct) aggregation, so winner, ties and
+    * NaN handling are bit-identical; score arithmetic is the unchanged
+    * dot/norm/norm division chain. */
+  private def bestCentroid(vec: Column, cents: Column): Column =
+    aggregate(cents,
+      struct(lit(Double.NegativeInfinity).as("score"), lit(Long.MinValue).as("ncid")),
+      (acc, c) => greatest(acc, struct(
+        (dot(vec, c("cvec")) / norm(vec) / norm(c("cvec"))).as("score"),
+        negate(c("cid")).as("ncid"))))
+
   /** Deterministic-seed Lloyd's k-means over the (id, vec) corpus:
     * initial centroids are the first `nlist` vectors in id order, then
     * `iters` rounds of assign (max cosine, broadcast centroids) + centroid
@@ -222,35 +251,60 @@ object AnnSearch {
     * hash-exact against the DuckDB oracle (q40) regardless of partitioning.
     * The milli-unit rounding perturbs the coarse grid only (~1e-3 relative
     * per coordinate); recall is pinned by AnnAndTextSpec either way. */
-  def ivfCentroids(corpus: DataFrame, nlist: Int, iters: Int = 3): DataFrame = {
-    val quant = corpus.select(col("id"),
-      transform(col("vec"), quantized(_)).as("qvec"))
-    var cents = corpus.orderBy("id").limit(nlist)
-      .select(transform(col("vec"), v => quantized(v).cast("float")).as("cvec"),
-        (row_number().over(Window.orderBy("id")) - 1).cast("long").as("cid"))
+  def ivfCentroids(corpus: DataFrame, nlist: Int, iters: Int = 3): DataFrame =
+    ivfCentroidsRow(corpus, nlist, iters, dimOf(corpus))
+      .select(inline(col("_cents")))
+
+  /** Gathered-form trainer: the centroid state lives as ONE row
+    * (_cents: array<struct<cid, cvec>>, cid-sorted) ACROSS iterations.
+    * Per iteration: assignment is a map-side fold over the broadcast
+    * centroid row and the update ONE fixed-width (dims sums) groupBy(cid)
+    * whose result re-gathers in the same job — the corpus is shuffled once
+    * per iteration (map-side-combined, nlist groups), vs the previous
+    * assign-shuffle + join-by-id + posexplode + two groupBys (4
+    * corpus-scaled exchanges), and the next iteration's broadcast build is
+    * the only driver job. Values are bit-identical: per-dimension LONG
+    * sums are order-independent and the argmax ordering is unchanged
+    * (see [[bestCentroid]]); memberless centroids drop from the state
+    * exactly as they dropped from the row table before. */
+  private def ivfCentroidsRow(corpus: DataFrame, nlist: Int, iters: Int,
+                              dims: Int): DataFrame = {
+    var cents = centsRow(corpus.orderBy("id").limit(nlist)
+        .select(transform(col("vec"), v => quantized(v).cast("float")).as("cvec"),
+          (row_number().over(Window.orderBy("id")) - 1).cast("long").as("cid")))
       .localCheckpoint(false)
+    if (dims == 0) return cents // empty corpus: empty centroid array, as before
     (1 to iters).foreach { _ =>
-      val assigned = assignToCentroids(corpus, cents)
-      cents = quant.join(assigned, "id")
-        .select(col("cid"), posexplode(col("qvec")))
-        .groupBy("cid", "pos").agg(sum(col("col")).as("m"))
+      cents = corpus.crossJoin(broadcast(cents))
+        .where(size(col("_cents")) > 0)
+        .select(negate(bestCentroid(col("vec"), col("_cents"))("ncid"))
+          .cast("long").as("cid"),
+          transform(col("vec"), quantized(_)).as("qvec"))
         .groupBy("cid")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s("m").cast("float")).as("cvec"))
+        .agg(array((0 until dims).map(i =>
+          sum(element_at(col("qvec"), i + 1)).cast("float")): _*).as("cvec"))
+        .groupBy()
+        .agg(array_sort(collect_list(struct(col("cid"), col("cvec")))).as("_cents"))
         .localCheckpoint(false)
     }
     cents
   }
 
+  /** (id, cid) against a gathered centroid row — the shared no-shuffle
+    * assignment kernel. */
+  private def assignRow(df: DataFrame, centsRowDf: DataFrame): DataFrame =
+    df.crossJoin(broadcast(centsRowDf))
+      .where(size(col("_cents")) > 0)
+      .select(col("id"),
+        negate(bestCentroid(col("vec"), col("_cents"))("ncid")).cast("long").as("cid"))
+
   /** (id, cid): each vector's nearest centroid by cosine (ties → lowest
-    * cid). One broadcast join, no shuffle of the corpus. */
+    * cid). The centroid table gathers into one broadcast row and the
+    * argmax is a per-row fold — no shuffle at all (the previous
+    * formulation re-shuffled the crossJoin output by id for its
+    * max-struct aggregation). */
   def assignToCentroids(df: DataFrame, centroids: DataFrame): DataFrame =
-    df.crossJoin(broadcast(centroids))
-      .select(col("id"), col("cid"),
-        (dot(col("vec"), col("cvec")) / norm(col("vec")) / norm(col("cvec"))).as("score"))
-      .groupBy("id")
-      .agg(max(struct(col("score").as("score"), negate(col("cid")).as("ncid"))).as("best"))
-      .select(col("id"), negate(col("best")("ncid")).cast("long").as("cid"))
+    assignRow(df, centsRow(centroids))
 
   /** IVF ANN: corpus vectors are bucketed by nearest centroid (the
     * inverted lists); each query probes its `nprobe` nearest lists and
@@ -260,7 +314,8 @@ object AnnSearch {
     * the LSH paths' (tables, planes). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = AnnTopK,
               nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame =
-    ivfTopKWith(ivfCentroids(corpus, nlist, iters), corpus, queries, k, nprobe)
+    ivfTopKWithRow(ivfCentroidsRow(corpus, nlist, iters, dimOf(corpus)),
+      corpus, queries, k, nprobe)
 
   /** [[ivfTopK]] against PRECOMPUTED centroids — the production index
     * shape: the coarse quantizer is trained once (a tiny (cid, cvec)
@@ -270,11 +325,22 @@ object AnnSearch {
     * Deterministic centroids (fixed-point sums) make the staged quantizer
     * bit-stable across restages. */
   def ivfTopKWith(cents: DataFrame, corpus: DataFrame, queries: DataFrame,
-                  k: Int = AnnTopK, nprobe: Int = 4): DataFrame = {
-    val lists = assignToCentroids(corpus, cents).withColumnRenamed("id", "neighbor_id")
-    val probes = queries.crossJoin(broadcast(cents))
-      .select(col("id").as("query_id"), col("cid"),
-        (dot(col("vec"), col("cvec")) / norm(col("vec")) / norm(col("cvec"))).as("score"))
+                  k: Int = AnnTopK, nprobe: Int = 4): DataFrame =
+    ivfTopKWithRow(centsRow(cents), corpus, queries, k, nprobe)
+
+  private def ivfTopKWithRow(cr: DataFrame, corpus: DataFrame,
+                             queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val lists = assignRow(corpus, cr).withColumnRenamed("id", "neighbor_id")
+    // per-(query, cid) scores exploded from the same broadcast centroid
+    // row the list assignment uses (the exchange is reused); score chain
+    // and probe ranking unchanged
+    val probes = queries.crossJoin(broadcast(cr))
+      .where(size(col("_cents")) > 0)
+      .select(col("id").as("query_id"),
+        explode(transform(col("_cents"), c => struct(c("cid").as("cid"),
+          (dot(col("vec"), c("cvec")) / norm(col("vec")) / norm(c("cvec")))
+            .as("score")))).as("e"))
+      .select(col("query_id"), col("e")("cid").as("cid"), col("e")("score").as("score"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("score").desc, col("cid"))))
       .where(col("rk") <= nprobe)
@@ -314,14 +380,20 @@ object AnnSearch {
                     iters: Int = 3, saltCap: Int = SaltCap,
                     saltFanout: Int = SaltFanout): DataFrame = {
     val spark = corpus.sparkSession
-    val cents = ivfCentroids(corpus, nlist, iters)
-    // (id, cid) + distance-to-centroid, reused by edges AND keeper pick;
-    // same cosine division order as assignToCentroids / the oracle
-    val assigned = assignToCentroids(corpus, cents)
-      .join(corpus, "id").join(broadcast(cents), "cid")
-      .select(col("id"), col("cid"),
-        (dot(col("vec"), col("cvec")) / norm(col("vec")) / norm(col("cvec")))
-          .as("ccos"))
+    val cents = ivfCentroidsRow(corpus, nlist, iters, dimOf(corpus))
+    // (id, cid) + distance-to-centroid, reused by edges AND keeper pick.
+    // ONE map-side fold yields both the winning cid and its cosine (the
+    // previous shape re-joined the corpus and the centroid table — two
+    // corpus-scaled shuffles — to recompute exactly this score); the fold
+    // is let-bound (single-element transform) so the interpreted argmax
+    // runs once per row, and ccos is the winner's score from the same
+    // division chain — bit-identical doubles.
+    val assigned = corpus.crossJoin(broadcast(cents))
+      .where(size(col("_cents")) > 0)
+      .select(col("id"),
+        inline(transform(array(bestCentroid(col("vec"), col("_cents"))), b =>
+          struct(negate(b("ncid")).cast("long").as("cid"),
+            b("score").as("ccos")))))
       .localCheckpoint(false)
     val cand = SkewSalting.selfJoinPairs(
       assigned.select("cid", "id"), Seq("cid"), "id", saltCap, saltFanout)
@@ -380,13 +452,21 @@ object AnnSearch {
     * @param corpus (id, vec: array<float>)
     * @return (id, code: array<bigint> in [0,255])  */
   def sq8Encode(corpus: DataFrame): DataFrame = {
+    // range "training" as ONE fixed-width aggregate (dims min/max columns,
+    // map-side combining, no posexplode fan-out and no per-dim shuffle);
+    // same float min/max per dimension as the exploded formulation. The
+    // isNotNull guard keeps the empty-corpus contract (empty in → empty
+    // out) that the global agg's always-one-row shape would otherwise break.
+    val dims = dimOf(corpus)
+    if (dims == 0) // empty corpus: empty encoding, as before
+      return corpus.where(lit(false))
+        .select(col("id"), transform(col("vec"), v => lit(0L)).as("code"))
     val ranges = corpus
-      .select(posexplode(col("vec")).as(Seq("dim", "x")))
-      .groupBy("dim").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-      .groupBy().agg(array_sort(collect_list(struct(col("dim"), col("mn"),
-        col("mx")))).as("r"))
-      .select(transform(col("r"), e => e("mn")).as("mns"),
-        transform(col("r"), e => e("mx")).as("mxs"))
+      .agg(array((0 until dims).map(i =>
+          min(element_at(col("vec"), i + 1))): _*).as("mns"),
+        array((0 until dims).map(i =>
+          max(element_at(col("vec"), i + 1))): _*).as("mxs"))
+      .where(element_at(col("mns"), 1).isNotNull)
     corpus.crossJoin(broadcast(ranges))
       .select(col("id"),
         zip_with(col("vec"),
@@ -472,48 +552,105 @@ object AnnSearch {
   private def l2i(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
 
+  /** The M·K-row codebook gathered into ONE broadcastable row — a flat
+    * slot-indexed array (_cbs[m·K + k + 1] = cent(m,k)), so assignment can
+    * run as a per-row fold over the K entries of a subspace instead of a
+    * broadcast join + groupBy(id, m) re-shuffle (guide §2.4). pqTrain
+    * maintains every (m, k) entry (empty entries coalesce to their
+    * previous centroid), so the slot index is always dense. */
+  private def codebookRow(cents: DataFrame): DataFrame =
+    cents.groupBy()
+      .agg(transform(
+        array_sort(collect_list(struct((col("m") * PqK + col("k")).as("slot"),
+          col("cent")))),
+        e => e("cent")).as("_cbs"))
+
+  /** Per-row nearest codebook entry of subspace `m`: fold with
+    * least(struct(d2, k)) — identical ordering (min d2, ties to lowest k)
+    * to the previous min-struct aggregation. */
+  private def bestK(sub: Column, cbs: Column, m: Column): Column =
+    aggregate(sequence(lit(0L), lit(PqK - 1L)),
+      struct(lit(Long.MaxValue).as("d2"), lit(Long.MaxValue).as("k")),
+      (acc, k) => least(acc, struct(
+        l2i(sub, element_at(cbs, (m * PqK + k + 1L).cast("int"))).as("d2"),
+        k.as("k"))))
+
   /** Nearest codebook entry per (id, m): min (d2, k) — ties to lowest k.
-    * The codebook is M·K rows and broadcasts; assignment is one scan. */
+    * Map-side fold over the broadcast slot-indexed codebook; no shuffle. */
   def pqAssign(sv: DataFrame, cents: DataFrame): DataFrame =
-    sv.join(broadcast(cents), "m")
-      .select(col("id"), col("m"), col("k"), l2i(col("sub"), col("cent")).as("d2"))
-      .groupBy("id", "m")
-      .agg(min(struct(col("d2"), col("k"))).as("best"))
-      .select(col("id"), col("m"), col("best.k").as("k"))
+    sv.crossJoin(broadcast(codebookRow(cents)))
+      .where(size(col("_cbs")) > 0)
+      .select(col("id"), col("m"),
+        bestK(col("sub"), col("_cbs"), col("m"))("k").as("k"))
 
   /** Per-subspace Lloyd's over the code table: init = subvectors of the
     * first K ids, then `iters` rounds of assign + round-half-up integer
     * mean (an empty codebook entry keeps its previous centroid). All M
     * subspaces train in the same jobs — m is just a grouping column. */
-  def pqTrain(codes: DataFrame, iters: Int = PqIters): DataFrame = {
+  def pqTrain(codes: DataFrame, iters: Int = PqIters): DataFrame =
+    pqTrainRow(codes, iters)
+      .select(posexplode(col("_cbs")))
+      .select(call_function("div", col("pos").cast("long"), lit(PqK.toLong)).as("m"),
+        pmod(col("pos").cast("long"), lit(PqK.toLong)).as("k"),
+        col("col").as("cent"))
+
+  /** Gathered-form PQ trainer: the codebook lives as ONE slot-indexed row
+    * (_cbs[m·K + k + 1] = cent(m,k)) ACROSS iterations. Per iteration:
+    * assignment is a map-side fold over the broadcast codebook row, the
+    * update ONE fixed-width (PqSubLen sums + count) groupBy(m, k) — an
+    * M·K-group shuffle, vs the previous assign-shuffle + join-by-(id,m) +
+    * posexplode + two groupBys — and the re-gather (map_from_entries,
+    * empty entries coalescing to their previous centroid exactly like the
+    * old left join) rides the same job. Per-(m,k,pos) sums/counts and the
+    * round-half-up integral mean are the same integers in the same
+    * per-pos order. */
+  private def pqTrainRow(codes: DataFrame, iters: Int = PqIters): DataFrame = {
     val sv = pqSubvectors(codes)
-    var cents = codes.orderBy("id").limit(PqK)
-      .select(col("code"), (row_number().over(Window.orderBy("id")) - 1).cast("long").as("k"))
-      .select(col("k"), explode(pqSubArr(col("code"))).as("e"))
-      .select(col("e.m").as("m"), col("k"), col("e.sub").as("cent"))
+    var cbs = codebookRow(codes.orderBy("id").limit(PqK)
+        .select(col("code"),
+          (row_number().over(Window.orderBy("id")) - 1).cast("long").as("k"))
+        .select(col("k"), explode(pqSubArr(col("code"))).as("e"))
+        .select(col("e.m").as("m"), col("k"), col("e.sub").as("cent")))
       .localCheckpoint(false)
+    if (codes.select(lit(1)).head(1).isEmpty) return cbs // empty input: empty codebook
     (1 to iters).foreach { _ =>
-      val upd = sv.join(pqAssign(sv, cents), Seq("id", "m"))
-        .select(col("m"), col("k"), posexplode(col("sub")).as(Seq("pos", "cv")))
-        .groupBy("m", "k", "pos")
-        .agg(sum("cv").as("s"), count(lit(1)).as("n"))
+      cbs = sv.crossJoin(broadcast(cbs))
+        .select(col("m"), bestK(col("sub"), col("_cbs"), col("m"))("k").as("k"),
+          col("sub"))
         .groupBy("m", "k")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("s"), col("n")))),
-          e => call_function("div", e("s") * 2L + e("n"), e("n") * 2L)).as("newCent"))
-      cents = cents.join(upd, Seq("m", "k"), "left")
-        .select(col("m"), col("k"), coalesce(col("newCent"), col("cent")).as("cent"))
+        .agg(count(lit(1)).as("n"),
+          array((0 until PqSubLen).map(p =>
+            sum(element_at(col("sub"), p + 1))): _*).as("_s"))
+        .select((col("m") * PqK + col("k")).as("slot"),
+          transform(col("_s"),
+            s => call_function("div", s * 2L + col("n"), col("n") * 2L)).as("cent"))
+        .groupBy()
+        .agg(map_from_entries(array_sort(collect_list(struct(col("slot"),
+          col("cent"))))).as("_new"))
+        .crossJoin(broadcast(cbs))
+        .select(transform(sequence(lit(0L), lit(PqM.toLong * PqK - 1L)), s =>
+          coalesce(try_element_at(col("_new"), s),
+            element_at(col("_cbs"), (s + 1L).cast("int")))).as("_cbs"))
         .localCheckpoint(false)
     }
-    cents
+    cbs
   }
 
   /** (id, pqcode: array of M codebook indices) — the 4-byte compressed
-    * corpus representation. */
+    * corpus representation. One map-side pass: per subspace m the fold
+    * picks the nearest codebook entry straight from the SQ8 code column —
+    * no explode, no shuffle (same (m, k) values in the same m order as the
+    * previous groupBy-collect formulation). */
   def pqEncode(codes: DataFrame, cents: DataFrame): DataFrame =
-    pqAssign(pqSubvectors(codes), cents)
-      .groupBy("id")
-      .agg(transform(array_sort(collect_list(struct(col("m"), col("k")))),
-        e => e("k")).as("pqcode"))
+    pqEncodeRow(codes, codebookRow(cents))
+
+  private def pqEncodeRow(codes: DataFrame, cbs: DataFrame): DataFrame =
+    codes.crossJoin(broadcast(cbs))
+      .where(size(col("_cbs")) > 0)
+      .select(col("id"),
+        transform(sequence(lit(0L), lit(PqM - 1L)), m =>
+          bestK(slice(col("code"), (m * PqSubLen + 1L).cast("int"), lit(PqSubLen)),
+            col("_cbs"), m)("k")).as("pqcode"))
 
   /** PQ-ADC top-k: queries' SQ8 subvectors build per-query M×K distance
     * tables against the trained codebook (tiny — broadcast); the encoded
@@ -524,17 +661,20 @@ object AnnSearch {
     * @return (query_id, rank, neighbor_id, adist) */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int = AnnTopK): DataFrame = {
     val codes = sq8Encode(corpus).localCheckpoint(false)
-    val cents = pqTrain(codes)
-    val enc = pqEncode(codes, cents)
+    val cbs = pqTrainRow(codes)
+    val enc = pqEncodeRow(codes, cbs)
     val qIds = queries.select(col("id").as("query_id"))
-    val qsv = pqSubvectors(codes.join(qIds, codes("id") === qIds("query_id"))
-      .select(col("query_id").as("id"), col("code")))
-    val tbl = qsv.join(broadcast(cents), "m")
-      .select(col("id").as("query_id"),
-        (col("m") * PqK + col("k")).as("slot"), l2i(col("sub"), col("cent")).as("pd"))
-      .groupBy("query_id")
-      .agg(transform(array_sort(collect_list(struct(col("slot"), col("pd")))),
-        e => e("pd")).as("tbl"))
+    // per-query M×K lookup table built map-side in slot order from the
+    // broadcast codebook — no subvector explode, no groupBy-collect
+    // re-shuffle; same l2i integers at the same slots.
+    val tbl = codes.join(qIds, codes("id") === qIds("query_id"))
+      .crossJoin(broadcast(cbs))
+      .where(size(col("_cbs")) > 0)
+      .select(col("query_id"),
+        flatten(transform(sequence(lit(0L), lit(PqM - 1L)), m =>
+          transform(sequence(lit(0L), lit(PqK - 1L)), k =>
+            l2i(slice(col("code"), (m * PqSubLen + 1L).cast("int"), lit(PqSubLen)),
+              element_at(col("_cbs"), (m * PqK + k + 1L).cast("int")))))).as("tbl"))
     val scored = enc.select(col("id").as("neighbor_id"), col("pqcode"))
       .crossJoin(broadcast(tbl))
       .where(col("query_id") =!= col("neighbor_id"))
