@@ -84,14 +84,33 @@ object Queries {
       .orderBy("a", "b")
   }
 
+  /** Near-dup cluster assignment with CC confined to exact-dup
+    * REPRESENTATIVES: reps are each text group's min id, star members have
+    * id > their rep, so every component's min id IS its min rep id —
+    * members can inherit their rep's cluster through one join instead of
+    * dragging |corpus| star edges through every CC iteration. Identical
+    * (id, cluster_id) output to CC over dedupEdges ∪ stars (the previous
+    * shape); at 10^12 rows this also shrinks the iterated edge set by the
+    * duplication factor. */
+  private def docClusters(s: SparkSession, d: DataFrame): DataFrame = {
+    val (reps, star) = MinHashLsh.exactCollapse(d, "doc_id", "text")
+    val sh = MinHashLsh.shingleTable(reps, "id", "text").localCheckpoint(false)
+    val cand = MinHashLsh.candidatePairs(
+      MinHashLsh.bands(MinHashLsh.signaturesFromText(reps, "id", "text")))
+    val repEdges = MinHashLsh.verifyPairs(cand, sh).select(col("a"), col("b"))
+    val repClusters =
+      ConnectedComponents.run(s, repEdges, Some(reps.select(col("id"))))
+        .localCheckpoint(false) // consumed by the rep leg AND the member join
+    repClusters.unionByName(
+      star.join(repClusters.withColumnRenamed("id", "_r"), col("a") === col("_r"))
+        .select(col("b").as("id"), col("cluster_id")))
+  }
+
   /** Flagship: end-to-end near-dup clustering over documents. */
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    val edges = MinHashLsh.dedupEdges(d, "doc_id", "text")
-    ConnectedComponents.run(s, edges, Some(d.select(col("doc_id").as("id"))))
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    docClusters(s, docs(s, dir))
       .select(col("id").as("doc_id"), col("cluster_id"))
       .orderBy("doc_id")
-  }
 
   /** Exact duplicate collapse: keeper = min doc_id among identical
     * (lowercased) texts. GroupBy-min + join-back, not min-over-window: the
@@ -475,9 +494,34 @@ object Queries {
     val d = docs(s, dir)
     val master = d.where(col("doc_id") % 4 =!= 0)
     val staging = d.where(col("doc_id") % 4 === 0)
-    val edges = MinHashLsh.dedupEdges(master, "doc_id", "text")
-      .unionByName(MinHashLsh.dedupEdgesAgainst(master, staging, "doc_id", "text"))
-    ConnectedComponents.run(s, edges, Some(d.select(col("doc_id").as("id"))))
+    // Rep-level CC (see docClusters): exactCollapse and the shingle tables
+    // are computed ONCE per split (dedupEdges + dedupEdgesAgainst each
+    // re-derived the master collapse before), and the star edges of both
+    // splits stay out of the iterated edge set — members inherit their
+    // rep's cluster by one join. Identical components ⇒ identical min-id
+    // labels (every rep is its text group's min id).
+    val (repsM, starM) = MinHashLsh.exactCollapse(master, "doc_id", "text")
+    val (repsS, starS) = MinHashLsh.exactCollapse(staging, "doc_id", "text")
+    val exactCross = repsM.withColumnRenamed("id", "a")
+      .join(repsS.withColumnRenamed("id", "b"), "text")
+      .select(col("a"), col("b"))
+    val sh = MinHashLsh.shingleTable(repsM, "id", "text")
+      .unionByName(MinHashLsh.shingleTable(repsS, "id", "text"))
+      .localCheckpoint(false)
+    val masterCand = MinHashLsh.candidatePairs(
+      MinHashLsh.bands(MinHashLsh.signaturesFromText(repsM, "id", "text")))
+    val crossCand = MinHashLsh.candidatePairsAgainst(
+      MinHashLsh.bands(MinHashLsh.signaturesFromText(repsM, "id", "text")),
+      MinHashLsh.bands(MinHashLsh.signaturesFromText(repsS, "id", "text")))
+    val repEdges = MinHashLsh.verifyPairs(masterCand.unionByName(crossCand), sh)
+      .select(col("a"), col("b")).unionByName(exactCross)
+    val repClusters = ConnectedComponents.run(s, repEdges,
+        Some(repsM.select(col("id")).unionByName(repsS.select(col("id")))))
+      .localCheckpoint(false)
+    repClusters.unionByName(
+      starM.unionByName(starS)
+        .join(repClusters.withColumnRenamed("id", "_r"), col("a") === col("_r"))
+        .select(col("b").as("id"), col("cluster_id")))
       .select(col("id").as("doc_id"), col("cluster_id"))
       .orderBy("doc_id")
   }
@@ -496,8 +540,7 @@ object Queries {
       .where(col("lang_guess") === "en").select(col("id").as("doc_id"))
     val kept = d.join(okQuality, Seq("doc_id"), "left_semi")
       .join(okLang, Seq("doc_id"), "left_semi")
-    val edges = MinHashLsh.dedupEdges(kept, "doc_id", "text")
-    ConnectedComponents.run(s, edges, Some(kept.select(col("doc_id").as("id"))))
+    docClusters(s, kept)
       .select(col("id").as("doc_id"), col("cluster_id"))
       .orderBy("doc_id")
   }
@@ -533,8 +576,7 @@ object Queries {
     * guard a dedup engine exists to enable. 90/10 split. */
   def splitLeakFree(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val edges = MinHashLsh.dedupEdges(d, "doc_id", "text")
-    ConnectedComponents.run(s, edges, Some(d.select(col("doc_id").as("id"))))
+    docClusters(s, d)
       .select(col("id").as("doc_id"), col("cluster_id"))
       .withColumn("split",
         when(Sampling.sampleKey(col("cluster_id")) % 1000L < 900L, lit("train"))
@@ -591,8 +633,7 @@ object Queries {
     * straggler. Output: (doc_id, cluster_id, keeper). */
   def keepBest(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val edges = MinHashLsh.dedupEdges(d, "doc_id", "text")
-    val clusters = ConnectedComponents.run(s, edges, Some(d.select(col("doc_id").as("id"))))
+    val clusters = docClusters(s, d)
       .select(col("id").as("doc_id"), col("cluster_id"))
     val q = TextAnalysis.qualityScore(d, "doc_id", "text")
       .select(col("id").as("doc_id"), col("n_distinct"))

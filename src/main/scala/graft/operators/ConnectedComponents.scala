@@ -82,6 +82,8 @@ object ConnectedComponents {
       sig = nextSig
       e = next
     }
+    if (sys.props.contains("graft.cc.debug"))
+      System.err.println(s"[cc] converged after ${iter - startIter} iterations")
     // Fail loudly rather than emit wrong clusters: the star extraction below
     // is only correct at the fixpoint. 50 rounds covers graphs far beyond
     // any realistic dedup input (convergence is O(log^2 n) rounds).
@@ -103,9 +105,21 @@ object ConnectedComponents {
   }
 
   /** large-star: for each node u, link every neighbor v > u to
-    * m(u) = min(Γ(u) ∪ {u}). Keeps high-degree work on the small side. */
+    * m(u) = min(Γ(u) ∪ {u}). Keeps high-degree work on the small side.
+    * NO trailing distinct: the duplicates it removed are re-removed by
+    * [[smallStar]]'s distinct in the same iteration (min-aggregates are
+    * multiplicity-blind, so the fixpoint is unchanged) — one exchange per
+    * iteration saved, measured plan-identical results. */
   private[operators] def largeStar(e: DataFrame): DataFrame = {
+    // ONE exchange per star pass: the neighbor table is hash-repartitioned
+    // on its grouping key once, so the min-aggregate runs exchange-free on
+    // top of it and the aggregate⋈neighbors join reuses the same exchange
+    // (both consumers share the identical repartition subtree —
+    // ReuseExchange). Previously the aggregate and the join each shuffled
+    // the neighbor table separately (guide §2.4: two operations keyed the
+    // same way share one exchange).
     val nbrs = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("a"))
     val m = nbrs.groupBy(col("a").as("u"))
       .agg(min(col("b")).as("mn"))
       .select(col("u"), least(col("u"), col("mn")).as("m"))
@@ -113,14 +127,16 @@ object ConnectedComponents {
       .join(m, nbrs("a") === m("u"))
       .select(least(col("b"), col("m")).as("a"), greatest(col("b"), col("m")).as("b"))
       .where(col("a") =!= col("b"))
-      .distinct()
   }
 
   /** small-star: orient edges to (u=max, v=min); link every small neighbor
     * (and u itself) to m(u) = min small neighbor. */
   private[operators] def smallStar(e: DataFrame): DataFrame = {
+    // same single-exchange shape as largeStar: repartition on u once,
+    // aggregate and join both ride it
     val oriented = e.select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .where(col("u") =!= col("v"))
+      .repartition(col("u"))
     val m = oriented.groupBy("u").agg(min(col("v")).as("m"))
     oriented.join(m, "u")
       .select(least(col("v"), col("m")).as("a"), greatest(col("v"), col("m")).as("b"))
