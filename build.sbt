@@ -26,7 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (was 8g): a long multi-query session accumulates lazily
+  // localCheckpointed RDD blocks, broadcast relations and generated
+  // classes; at 8g the suite's tail queries ran under continuous GC
+  // pressure (measured: full suite 96.2s at 8g vs 82.4s at 16g, with the
+  // worst tail query 13.4s -> off the top-10; 32g adds only ~1s more).
+  // Env-overridable as before; the box provides 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // Whole-stage-codegen source cache (default 100 entries): a multi-query
   // session generates hundreds of codegen units per pass, so at the default
   // size a prior pass's compiled classes are evicted before they are reused
