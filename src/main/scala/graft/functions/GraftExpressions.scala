@@ -95,6 +95,34 @@ case class ShingleHashesExpr(child: Expression, k: Int)
   override def prettyName: String = "graft_shingle_hashes"
 }
 
+/** simhash(array<string> tokens, bits) → long weighted SimHash. */
+case class SimHashExpr(child: Expression, bits: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.simHash(input.asInstanceOf[ArrayData], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.simHash($c, $bits);")
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_simhash"
+}
+
+/** phash64(array<bigint> 64-block) → array<long> [phash_hi, phash_lo]. */
+case class PHash64Expr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.phash64(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.phash64($c);")
+  override protected def withNewChildInternal(newChild: Expression): PHash64Expr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_phash64"
+}
+
 /** dot_f(array<float>, array<float>) → double, left-fold order. */
 case class DotFExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
@@ -177,4 +205,12 @@ object GraftExpressions {
   /** Fast equivalent of TextHash.strHash. */
   def strHash(s: Column): Column =
     Bridge.column(StrHashExpr(Bridge.expression(s)))
+
+  /** Compiled weighted SimHash of a token array (one pass, no shuffle). */
+  def simHash(tokens: Column, bits: Int): Column =
+    Bridge.column(SimHashExpr(Bridge.expression(tokens), bits))
+
+  /** Compiled integer DCT pHash of a 64-length block → [hi, lo]. */
+  def phash64(block: Column): Column =
+    Bridge.column(PHash64Expr(Bridge.expression(block)))
 }

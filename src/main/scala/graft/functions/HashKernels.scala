@@ -196,6 +196,82 @@ object HashKernels {
     bucket
   }
 
+  /** Weighted SimHash over a token array in ONE pass: every token
+    * OCCURRENCE contributes ±1 to each bit position by the corresponding
+    * bit of its strHash (Σ_distinct freq·sign ≡ Σ_occurrences sign — the
+    * same integers as the explode→groupBy formulation, which this kernel
+    * replaces together with its two shuffles). Bit b of the result is set
+    * iff its signed sum is > 0. */
+  def simHash(toks: ArrayData, bits: Int): Long = {
+    val m = toks.numElements()
+    val s = new Array[Long](bits)
+    var j = 0
+    while (j < m) {
+      val h = strHash(toks.getUTF8String(j))
+      var b = 0
+      while (b < bits) {
+        s(b) += ((h >> b) & 1L) * 2L - 1L
+        b += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) {
+      if (s(b) > 0L) out |= 1L << b
+      b += 1
+    }
+    out
+  }
+
+  /** Integer DCT perceptual hash of a 64-length 0..255 block — EXACTLY the
+    * arithmetic of [[graft.images.PerceptualHash.dctHash]] (fixed-point
+    * DctCoef table, lower-median threshold over the 63 AC coefficients,
+    * MSB-first fold into two non-negative longs), compiled into one pass
+    * instead of an interpreted higher-order expression tree. Returns
+    * [phash_hi, phash_lo]. */
+  def phash64(block: ArrayData): ArrayData = {
+    val cf = DctCoef
+    val g = new Array[Long](64) // g[8u+y] = Σ_x cf(u)(x)·p(x,y)
+    var u = 0
+    while (u < 8) {
+      val cfu = cf(u)
+      var y = 0
+      while (y < 8) {
+        var acc = 0L
+        var x = 0
+        while (x < 8) { acc += cfu(x) * block.getLong(x * 8 + y); x += 1 }
+        g(u * 8 + y) = acc
+        y += 1
+      }
+      u += 1
+    }
+    val f = new Array[Long](64) // f[8u+v] = Σ_y cf(v)(y)·g[8u+y]
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        val cfv = cf(v)
+        var acc = 0L
+        var y = 0
+        while (y < 8) { acc += cfv(y) * g(u * 8 + y); y += 1 }
+        f(u * 8 + v) = acc
+        v += 1
+      }
+      u += 1
+    }
+    val ac = java.util.Arrays.copyOfRange(f, 1, 64)
+    java.util.Arrays.sort(ac)
+    val med = ac(31) // lower median (32nd of 63 sorted values)
+    var hi = 0L
+    var i = 1
+    while (i <= 31) { hi = hi * 2L + (if (f(i) > med) 1L else 0L); i += 1 }
+    var lo = 0L
+    i = 32
+    while (i <= 63) { lo = lo * 2L + (if (f(i) > med) 1L else 0L); i += 1 }
+    new GenericArrayData(Array(hi, lo))
+  }
+
   /** Batched MinHash over an array of shingle strings: hashes each shingle
     * once, updates all n mins in one pass. Returns null for empty input
     * (callers filter empties; mirrors array_min(empty) = null). */

@@ -104,11 +104,17 @@ object PerceptualHash {
     }
 
   /** (id, phash_hi, phash_lo) signatures for a corpus of 64-length 0..255
-    * blocks. */
+    * blocks. Runs the compiled kernel (HashKernels.phash64 — same
+    * fixed-point DCT + lower-median arithmetic as [[dctHash]],
+    * kernel-parity unit-tested) through an `inline` Generate so the hash
+    * is evaluated exactly once per row even after CollapseProject. */
   def signatures(df: DataFrame, idCol: String, blockCol: String): DataFrame =
-    df.select(col(idCol).as("id"), dctHash(col(blockCol)).as("_s"))
-      .select(col("id"), col("_s.phash_hi").as("phash_hi"),
-        col("_s.phash_lo").as("phash_lo"))
+    df.select(col(idCol).as("id"),
+      inline(transform(
+        array(graft.functions.GraftExpressions.phash64(
+          col(blockCol).cast("array<bigint>"))),
+        a => struct(element_at(a, 1).as("phash_hi"),
+          element_at(a, 2).as("phash_lo")))))
 
   /** pHash near-dup pairs at Hamming distance ≤ `maxDist` over the 63
     * signature bits, by the pigeonhole band join (the [[ImageCodec]]

@@ -21,24 +21,18 @@ import graft.functions.TextHash.{tokens, strHash}
   */
 object SimHashNearDup {
 
-  /** (id, text) → (id, simhash: long) with `bits`-bit simhash. */
+  /** (id, text) → (id, simhash: long) with `bits`-bit simhash. ONE
+    * compiled map-side pass (SimHashExpr): Σ_distinct freq·sign ≡
+    * Σ_occurrences sign, so the kernel's per-occurrence bit sums produce
+    * exactly the explode→groupBy formulation's integers — with ZERO
+    * shuffles instead of three (token freq, per-bit sums, per-id fold).
+    * The null filter mirrors the old explode's drop of null-text rows. */
   def simhashTable(df: DataFrame, idCol: String, textCol: String,
-                   bits: Int = SimHashBits): DataFrame = {
-    val tok = df.select(col(idCol).as("id"),
-      explode(tokens(col(textCol))).as("token"))
-    val freq = tok.groupBy("id", "token").agg(count(lit(1)).as("cnt"))
-      .withColumn("th", graft.functions.GraftExpressions.strHash(col("token")))
-    // explode bits: contribution of each token to each bit position
-    val bitRows = freq.select(col("id"),
-        explode(sequence(lit(0L), lit(bits - 1L))).as("bit"),
-        col("cnt"), col("th"))
-      .withColumn("contrib",
-        expr("cnt * ((shiftright(th, cast(bit AS int)) & CAST(1 AS bigint)) * 2 - 1)"))
-    bitRows.groupBy("id", "bit").agg(sum(col("contrib")).as("s"))
-      .groupBy("id")
-      .agg(sum(expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS bigint), cast(bit AS int)) ELSE CAST(0 AS bigint) END"))
-        .as("simhash"))
-  }
+                   bits: Int = SimHashBits): DataFrame =
+    df.select(col(idCol).as("id"),
+        graft.functions.GraftExpressions.simHash(tokens(col(textCol)), bits)
+          .as("simhash"))
+      .where(col("simhash").isNotNull)
 
   /** Per-item majority-vote fingerprint over hash rows: bit b of the
     * output is set iff the majority of the item's hashes have bit b set
@@ -49,14 +43,19 @@ object SimHashNearDup {
     * feeds [[nearDupPairs]] unchanged. */
   def majorityFingerprint(df: DataFrame, idCol: String, hashCol: String,
                           bits: Int = 64): DataFrame =
-    df.select(col(idCol).as("id"), col(hashCol).as("mh"),
-        explode(sequence(lit(0L), lit(bits - 1L))).as("bit"))
-      .withColumn("contrib",
-        expr("(shiftright(mh, cast(bit AS int)) & CAST(1 AS bigint)) * 2 - 1"))
-      .groupBy("id", "bit").agg(sum(col("contrib")).as("s"))
+    // ONE fixed-width aggregate (bits signed sums, map-side combining)
+    // instead of a bits-way explode + two shuffles; the final fold of the
+    // per-bit sums into the long is a plain projection. Same integers —
+    // per-bit signed sums are order-independent.
+    df.select(col(idCol).as("id") +: (0 until bits).map(b =>
+        (shiftright(col(hashCol), b).bitwiseAND(lit(1L)) * 2L - 1L).as(s"_c$b")): _*)
       .groupBy("id")
-      .agg(sum(expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS bigint), cast(bit AS int)) ELSE CAST(0 AS bigint) END"))
-        .as("simhash"))
+      .agg(sum(col("_c0")).as("_s0"),
+        (1 until bits).map(b => sum(col(s"_c$b")).as(s"_s$b")): _*)
+      .select(col("id"),
+        (0 until bits).map(b =>
+          when(col(s"_s$b") > 0L, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
 
   /** Hamming-bucket rows: (id, chunk_idx, chunk_val) — chunkBits-wide slices. */
   def buckets(sim: DataFrame, simCol: String = "simhash",

@@ -142,6 +142,43 @@ class HashParitySpec extends AnyFlatSpec with Matchers with SparkTestBase {
     both.count() should be > 0L
   }
 
+  "simhash kernel" should "equal the explode→groupBy formulation on real docs" in {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bits = SimHashBits
+    // the pre-kernel reference formulation, verbatim
+    val tok = docs.select(col("doc_id").as("id"),
+      explode(TextHash.tokens(col("text"))).as("token"))
+    val slow = tok.groupBy("id", "token").agg(count(lit(1)).as("cnt"))
+      .withColumn("th", GraftExpressions.strHash(col("token")))
+      .select(col("id"), explode(sequence(lit(0L), lit(bits - 1L))).as("bit"),
+        col("cnt"), col("th"))
+      .withColumn("contrib",
+        expr("cnt * ((shiftright(th, cast(bit AS int)) & CAST(1 AS bigint)) * 2 - 1)"))
+      .groupBy("id", "bit").agg(sum(col("contrib")).as("s"))
+      .groupBy("id")
+      .agg(sum(expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS bigint), cast(bit AS int)) ELSE CAST(0 AS bigint) END"))
+        .as("slow"))
+    val fast = docs.select(col("doc_id").as("id"),
+      GraftExpressions.simHash(TextHash.tokens(col("text")), bits).as("fast"))
+    val joined = slow.join(fast, "id")
+    joined.where(col("slow") =!= col("fast")).count() shouldBe 0L
+    joined.count() should be > 0L
+  }
+
+  "phash64 kernel" should "equal the expression-tree dctHash on sq8 codes" in {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val codes = graft.operators.AnnSearch.sq8Encode(emb)
+    val slow = codes.select(col("id"),
+        graft.images.PerceptualHash.dctHash(col("code")).as("_s"))
+      .select(col("id"), col("_s.phash_hi").as("hi_s"), col("_s.phash_lo").as("lo_s"))
+    val fast = graft.images.PerceptualHash.signatures(codes, "id", "code")
+    val joined = slow.join(fast, "id")
+    joined.where(col("hi_s") =!= col("phash_hi") ||
+      col("lo_s") =!= col("phash_lo")).count() shouldBe 0L
+    joined.count() should be > 0L
+  }
+
   "band hashes" should "fold r consecutive signature values" in {
     import spark.implicits._
     val df = Seq(Seq("aa", "bb", "cc", "dd")).toDF("shingles")
