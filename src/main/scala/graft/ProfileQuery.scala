@@ -54,6 +54,35 @@ object ProfileQuery {
             f"tasks=${si.numTasks}%3d ${si.details.linesIterator.toSeq.drop(1).headOption.getOrElse("").trim.take(80)}"
         }
     })
+    // stall detector: every 250 ms, if a job has been running ≥ 0.75 s with
+    // no task activity recently, dump RUNNABLE non-JIT thread frames
+    val lastEvent = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskStart(ts: SparkListenerTaskStart): Unit =
+        lastEvent.set(System.nanoTime())
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+        lastEvent.set(System.nanoTime())
+    })
+    val sampler = new Thread(() => {
+      while (true) {
+        Thread.sleep(250)
+        if ((System.nanoTime() - lastEvent.get()) / 1e9 > 0.75) {
+          import scala.jdk.CollectionConverters._
+          val stacks = Thread.getAllStackTraces.asScala
+          for ((t, st) <- stacks if t.getState == Thread.State.RUNNABLE &&
+               !t.getName.contains("sampler") && st.nonEmpty) {
+            val frames = st.take(6).map(f => s"${f.getClassName}.${f.getMethodName}")
+              .filter(f => !f.startsWith("java.") && !f.startsWith("jdk.") &&
+                !f.startsWith("sun."))
+            if (frames.nonEmpty)
+              println(s"STALL [${t.getName}] " + frames.take(3).mkString(" <- "))
+          }
+          lastEvent.set(System.nanoTime()) // rate-limit
+        }
+      }
+    }, "sampler")
+    sampler.setDaemon(true)
+    sampler.start()
     val fn = SparkEntry.queries(name)
     def run(tag: String): Unit = {
       val t0 = System.nanoTime()

@@ -50,7 +50,8 @@ object Queries {
 
   def shingleStats(s: SparkSession, dir: String): DataFrame =
     balanced(docs(s, dir)).select(col("doc_id"),
-      size(shingles(tokens(col("text")))).cast("long").as("n_shingles"))
+      size(functions.GraftExpressions.shingleStrings(tokens(col("text")), ShingleK))
+        .cast("long").as("n_shingles"))
       .orderBy("doc_id")
 
   private def shingleTbl(s: SparkSession, dir: String): DataFrame =

@@ -95,6 +95,21 @@ case class ShingleHashesExpr(child: Expression, k: Int)
   override def prettyName: String = "graft_shingle_hashes"
 }
 
+/** shingle_strings(array<string> tokens, k) → distinct shingle strings in
+  * first-occurrence order; empty array when fewer than k tokens. */
+case class ShingleStringsExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.shingleStrings(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.shingleStrings($c, $k);")
+  override protected def withNewChildInternal(newChild: Expression): ShingleStringsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_shingle_strings"
+}
+
 /** simhash(array<string> tokens, bits) → long weighted SimHash. */
 case class SimHashExpr(child: Expression, bits: Int)
     extends UnaryExpression {
@@ -205,6 +220,10 @@ object GraftExpressions {
   /** Fast equivalent of TextHash.strHash. */
   def strHash(s: Column): Column =
     Bridge.column(StrHashExpr(Bridge.expression(s)))
+
+  /** Compiled distinct shingle strings (TextHash.shingles equivalent). */
+  def shingleStrings(tokens: Column, k: Int): Column =
+    Bridge.column(ShingleStringsExpr(Bridge.expression(tokens), k))
 
   /** Compiled weighted SimHash of a token array (one pass, no shuffle). */
   def simHash(tokens: Column, bits: Int): Column =

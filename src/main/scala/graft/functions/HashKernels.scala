@@ -196,6 +196,28 @@ object HashKernels {
     bucket
   }
 
+  /** Distinct k-token shingle STRINGS of `toks`, first-occurrence order —
+    * exactly array_distinct(transform(sequence(0, n-k), i =>
+    * concat_ws(" ", slice(toks, i+1, k)))) (TextHash.shingles), compiled:
+    * one UTF8String.concatWs per position + a hash-set dedup instead of
+    * the interpreted slice/concat/distinct expression tree. Empty array
+    * when fewer than k tokens (the shingles() contract). */
+  def shingleStrings(toks: ArrayData, k: Int): ArrayData = {
+    val m = toks.numElements()
+    if (m < k) return new GenericArrayData(Array.empty[Any])
+    val sep = UTF8String.fromString(" ")
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val part = new Array[UTF8String](k)
+    var i = 0
+    while (i <= m - k) {
+      var j = 0
+      while (j < k) { part(j) = toks.getUTF8String(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(sep, part: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
   /** Weighted SimHash over a token array in ONE pass: every token
     * OCCURRENCE contributes ±1 to each bit position by the corresponding
     * bit of its strHash (Σ_distinct freq·sign ≡ Σ_occurrences sign — the

@@ -30,11 +30,16 @@ import graft.functions.TextHash._
   */
 object MinHashLsh {
 
-  /** (id, text) → (id, shingles) with <k-token docs keeping empty arrays. */
+  /** (id, text) → (id, shingles) with <k-token docs keeping empty arrays.
+    * Compiled kernel (ShingleStringsExpr) — same distinct shingle STRINGS
+    * in the same first-occurrence order as the TextHash.shingles
+    * expression formulation (kernel-parity unit-tested); the interpreted
+    * slice/concat/array_distinct tree was ~1.3 s per bench query. */
   def shingleTable(df: DataFrame, idCol: String, textCol: String,
                    k: Int = ShingleK): DataFrame =
     df.select(col(idCol).as("id"),
-      shingles(tokens(col(textCol)), k).as("shingles"))
+      graft.functions.GraftExpressions.shingleStrings(tokens(col(textCol)), k)
+        .as("shingles"))
 
   /** (id, shingles) → (id, sig: array<long>) for docs with ≥1 shingle.
     * Uses the fused codegen kernel (MinHashSigExpr); bit-identical to the

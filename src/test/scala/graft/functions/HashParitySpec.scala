@@ -142,6 +142,27 @@ class HashParitySpec extends AnyFlatSpec with Matchers with SparkTestBase {
     both.count() should be > 0L
   }
 
+  "shingle-strings kernel" should "equal array_distinct of expression shingles on real docs" in {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val both = docs.select(
+      TextHash.shingles(TextHash.tokens(col("text"))).as("slow"),
+      GraftExpressions.shingleStrings(TextHash.tokens(col("text")),
+        graft.config.GoldenConfig.ShingleK).as("fast"))
+    both.where(col("slow") =!= col("fast")).count() shouldBe 0L
+    both.count() should be > 0L
+  }
+
+  it should "match on edge inputs (short docs, repeats, empties)" in {
+    import spark.implicits._
+    val samples = Seq("", "a", "a b", "a b c", "a b c d", "x x x x x",
+      "a  b c", " a b c ", "a b c a b c a b c", "é ü ñ é ü ñ")
+    val both = samples.toDF("text").select(
+      TextHash.shingles(TextHash.tokens(col("text"))).as("slow"),
+      GraftExpressions.shingleStrings(TextHash.tokens(col("text")),
+        graft.config.GoldenConfig.ShingleK).as("fast"))
+    both.where(col("slow") =!= col("fast")).count() shouldBe 0L
+  }
+
   "simhash kernel" should "equal the explode→groupBy formulation on real docs" in {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val bits = SimHashBits
