@@ -138,6 +138,35 @@ case class PHash64Expr(child: Expression)
   override def prettyName: String = "graft_phash64"
 }
 
+/** pq_code(array<bigint> sq8-code, array<array<bigint>> codebook) →
+  * array<bigint> of M nearest-entry indices. */
+case class PqCodeExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.pqCode(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.HashKernels.pqCode($a, $b);")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqCodeExpr = copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_pq_code"
+}
+
+/** pq_adc(array<bigint> tbl, array<bigint> pqcode) → bigint lookup sum. */
+case class PqAdcExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.pqAdc(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.HashKernels.pqAdc($a, $b);")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqAdcExpr = copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_pq_adc"
+}
+
 /** dot_f(array<float>, array<float>) → double, left-fold order. */
 case class DotFExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
@@ -220,6 +249,14 @@ object GraftExpressions {
   /** Fast equivalent of TextHash.strHash. */
   def strHash(s: Column): Column =
     Bridge.column(StrHashExpr(Bridge.expression(s)))
+
+  /** Compiled PQ assignment: M nearest-codebook-entry indices per code. */
+  def pqCode(code: Column, cbs: Column): Column =
+    Bridge.column(PqCodeExpr(Bridge.expression(code), Bridge.expression(cbs)))
+
+  /** Compiled ADC lookup sum of a pqcode against a per-query table. */
+  def pqAdc(tbl: Column, pqcode: Column): Column =
+    Bridge.column(PqAdcExpr(Bridge.expression(tbl), Bridge.expression(pqcode)))
 
   /** Compiled distinct shingle strings (TextHash.shingles equivalent). */
   def shingleStrings(tokens: Column, k: Int): Column =

@@ -218,6 +218,51 @@ object HashKernels {
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
   }
 
+  /** PQ assignment of one SQ8 code row against the slot-indexed codebook
+    * (cbs[m·K + k] = centroid of subspace m, entry k): per subspace the
+    * nearest entry by exact integer squared L2, ties to the LOWEST k —
+    * identical ordering to the least(struct(d2, k)) fold it replaces
+    * (which was a nested interpreted higher-order expression per row).
+    * Returns the M-length pqcode. */
+  def pqCode(code: ArrayData, cbs: ArrayData): ArrayData = {
+    import graft.config.GoldenConfig.{PqM, PqK, PqSubLen}
+    val out = new Array[Long](PqM)
+    var m = 0
+    while (m < PqM) {
+      var bestD = Long.MaxValue
+      var bestK = 0L
+      var k = 0
+      while (k < PqK) {
+        val cent = cbs.getArray(m * PqK + k)
+        var d = 0L
+        var p = 0
+        while (p < PqSubLen) {
+          val diff = code.getLong(m * PqSubLen + p) - cent.getLong(p)
+          d += diff * diff
+          p += 1
+        }
+        if (d < bestD) { bestD = d; bestK = k.toLong }
+        k += 1
+      }
+      out(m) = bestK
+      m += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** ADC lookup sum: Σ_m tbl[m·K + pqcode[m]] — the per-row integer
+    * scoring loop of PQ search, compiled. */
+  def pqAdc(tbl: ArrayData, pqcode: ArrayData): Long = {
+    import graft.config.GoldenConfig.{PqM, PqK}
+    var acc = 0L
+    var m = 0
+    while (m < PqM) {
+      acc += tbl.getLong(m * PqK + pqcode.getLong(m).toInt)
+      m += 1
+    }
+    acc
+  }
+
   /** Weighted SimHash over a token array in ONE pass: every token
     * OCCURRENCE contributes ±1 to each bit position by the corresponding
     * bit of its strHash (Σ_distinct freq·sign ≡ Σ_occurrences sign — the

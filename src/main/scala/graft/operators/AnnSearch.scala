@@ -605,7 +605,6 @@ object AnnSearch {
     * round-half-up integral mean are the same integers in the same
     * per-pos order. */
   private def pqTrainRow(codes: DataFrame, iters: Int = PqIters): DataFrame = {
-    val sv = pqSubvectors(codes)
     var cbs = codebookRow(codes.orderBy("id").limit(PqK)
         .select(col("code"),
           (row_number().over(Window.orderBy("id")) - 1).cast("long").as("k"))
@@ -614,14 +613,18 @@ object AnnSearch {
       .localCheckpoint(false)
     if (codes.select(lit(1)).head(1).isEmpty) return cbs // empty input: empty codebook
     (1 to iters).foreach { _ =>
-      cbs = sv.crossJoin(broadcast(cbs))
-        .select(col("m"), bestK(col("sub"), col("_cbs"), col("m"))("k").as("k"),
-          col("sub"))
+      // assignment via the compiled pqCode kernel (one pass per code row —
+      // the nested least(struct) fold was interpreted), exploded to
+      // (m, k) and aggregated with fixed-width per-position sums
+      cbs = codes.crossJoin(broadcast(cbs))
+        .select(col("code"),
+          posexplode(graft.functions.GraftExpressions.pqCode(col("code"),
+            col("_cbs"))).as(Seq("m", "k")))
         .groupBy("m", "k")
         .agg(count(lit(1)).as("n"),
           array((0 until PqSubLen).map(p =>
-            sum(element_at(col("sub"), p + 1))): _*).as("_s"))
-        .select((col("m") * PqK + col("k")).as("slot"),
+            sum(element_at(col("code"), col("m") * PqSubLen + p + 1))): _*).as("_s"))
+        .select((col("m").cast("long") * PqK + col("k")).as("slot"),
           transform(col("_s"),
             s => call_function("div", s * 2L + col("n"), col("n") * 2L)).as("cent"))
         .groupBy()
@@ -648,9 +651,8 @@ object AnnSearch {
     codes.crossJoin(broadcast(cbs))
       .where(size(col("_cbs")) > 0)
       .select(col("id"),
-        transform(sequence(lit(0L), lit(PqM - 1L)), m =>
-          bestK(slice(col("code"), (m * PqSubLen + 1L).cast("int"), lit(PqSubLen)),
-            col("_cbs"), m)("k")).as("pqcode"))
+        graft.functions.GraftExpressions.pqCode(col("code"), col("_cbs"))
+          .as("pqcode"))
 
   /** PQ-ADC top-k: queries' SQ8 subvectors build per-query M×K distance
     * tables against the trained codebook (tiny — broadcast); the encoded
@@ -679,9 +681,8 @@ object AnnSearch {
       .crossJoin(broadcast(tbl))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        aggregate(sequence(lit(0), lit(PqM - 1)), lit(0L), (acc, m) =>
-          acc + element_at(col("tbl"),
-            (m * PqK + element_at(col("pqcode"), m + 1) + 1).cast("int"))).as("adist"))
+        graft.functions.GraftExpressions.pqAdc(col("tbl"), col("pqcode"))
+          .as("adist"))
     val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
