@@ -141,6 +141,15 @@ object SkewSalting {
     * at the join), so spend the extra ~0.5 byte/key for a tighter filter. */
   val BloomFppCross: Double = 0.01
 
+  /** Below this many right-side buckets the key set is comfortably
+    * broadcastable (≤ ~32 MB framed) and a plain left-semi join filters
+    * the corpus map-side with NO separate driver action — the bloom's
+    * build (a blocking aggregate job + udf) only pays in the mid regime
+    * where the keys are too many to broadcast but few enough to fit a
+    * filter ([[BloomMaxKeys]]). Exact either way (semi-join has no false
+    * positives at all). */
+  val BroadcastKeysMax: Long = 2000000L
+
   /** Distinct cross pairs (a from `left`, b from `right`) sharing the bucket
     * key columns, skew-salted — the two-table analog of [[selfJoinPairs]]
     * and the shape of the reference's actual blocking join (blocks are
@@ -215,7 +224,12 @@ object SkewSalting {
     if (rBuckets == 0L)
       return r.where(lit(false)).select(col("id").as("a"), col("id").as("b"))
     val keyHash = xxhash64(keys: _*)
-    val filteredL = if (rBuckets <= maxBloomKeys) {
+    val filteredL = if (rBuckets <= BroadcastKeysMax)
+      // explicit broadcast: a BroadcastHashJoin LeftSemi streams the
+      // corpus side partitioning-preservingly (the leftBucketed contract
+      // keeps holding) and needs no separate driver action
+      l.join(broadcast(rKeys), keyCols, "left_semi")
+    else if (rBuckets <= maxBloomKeys) {
       val bloom = rKeys.stat.bloomFilter(keyHash, rBuckets, BloomFppCross)
       val bc = spark.sparkContext.broadcast(bloom)
       val mightContain = udf((h: Long) => bc.value.mightContain(h))

@@ -95,11 +95,17 @@ object TextAnalysis {
       size(regexp_extract_all(lower(col(textCol)), lit(BpeishPattern), lit(0)))
         .cast("long").as("n_bpeish"))
 
-  /** Corpus word count (A18): (token, cnt, doc_cnt). */
+  /** Corpus word count (A18): (token, cnt, doc_cnt). Two-level aggregate —
+    * per-(token, doc) occurrence counts first, then per-token totals —
+    * instead of count + countDistinct in one agg, whose plan EXPANDs every
+    * exploded token row twofold before the first shuffle. Same integers
+    * (Σ per-doc occurrences = total count; rows per token = distinct
+    * docs); both levels combine map-side. */
   def wordCount(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"), explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy("token", "id").agg(count(lit(1)).as("_c"))
       .groupBy("token")
-      .agg(count(lit(1)).as("cnt"), countDistinct(col("id")).as("doc_cnt"))
+      .agg(sum(col("_c")).as("cnt"), count(lit(1)).as("doc_cnt"))
 
   // ---- tokenizer variants (A27: the reference's tokenizer family beyond
   // lowercase-whitespace — stopword removal and a suffix stemmer) ----------
@@ -157,8 +163,9 @@ object TextAnalysis {
     df.select(col(idCol).as("id"),
         explode(cleanTokens(col(textCol), stopwords)).as("tok"))
       .select(col("id"), stem(col("tok")).as("token"))
-      .groupBy("token")
-      .agg(count(lit(1)).as("cnt"), countDistinct(col("id")).as("doc_cnt"))
+      .groupBy("token", "id").agg(count(lit(1)).as("_c"))
+      .groupBy("token") // two-level agg, no Expand — see wordCount
+      .agg(sum(col("_c")).as("cnt"), count(lit(1)).as("doc_cnt"))
 
   // ---- tf-idf (A38: the reference's CosineContextComparator weighs token
   // contexts by tf-idf before cosine) --------------------------------------

@@ -19,8 +19,28 @@ import org.apache.spark.sql.functions._
 object ZOrder {
 
   /** Morton key of two integer columns (low 16 bits each; higher bits are
-    * masked off — callers with wider domains should bucket first). */
-  def zKey(a: Column, b: Column): Column = {
+    * masked off — callers with wider domains should bucket first).
+    *
+    * Implemented as the classic mask-and-shift bit spread (x | x<<8 …
+    * & 0x5555…) rather than a per-bit fold: identical key for every input
+    * (bit i of a lands at position 2i, of b at 2i+1 — property-tested
+    * against the fold), but pure scalar bit algebra that whole-stage-
+    * compiles instead of a 16-step interpreted higher-order aggregate. */
+  def zKey(a: Column, b: Column): Column =
+    spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
+
+  /** Low 16 bits of `x` spread to even bit positions 0,2,...,30. */
+  private def spread16(x: Column): Column = {
+    val x0 = x.cast("long").bitwiseAND(lit(0xFFFFL))
+    val x1 = x0.bitwiseOR(shiftleft(x0, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val x2 = x1.bitwiseOR(shiftleft(x1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val x3 = x2.bitwiseOR(shiftleft(x2, 2)).bitwiseAND(lit(0x33333333L))
+    x3.bitwiseOR(shiftleft(x3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** The per-bit fold formulation — kept as the semantic reference for the
+    * parity property in ZOrderSpec. */
+  private[operators] def zKeyFold(a: Column, b: Column): Column = {
     val (am, bm) = (a.cast("long").bitwiseAND(65535L), b.cast("long").bitwiseAND(65535L))
     aggregate(sequence(lit(15), lit(0), lit(-1)), lit(0L), (acc, i) =>
       acc * 4L + shiftright(bm, i) % 2L * 2L + shiftright(am, i) % 2L)

@@ -22,6 +22,15 @@ class ZOrderSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     out.foreach { case (a, b, z) => z shouldBe morton(a & 65535L, b & 65535L) }
   }
 
+  it should "equal the per-bit fold formulation on random points" in {
+    val pts = (0 until 500).map(i =>
+      ((i * 48271L) % 70000, (i * 16807L) % 70000))
+    val both = pts.toDF("a", "b")
+      .withColumn("fast", ZOrder.zKey(col("a"), col("b")))
+      .withColumn("slow", ZOrder.zKeyFold(col("a"), col("b")))
+    both.where(col("fast") =!= col("slow")).count() shouldBe 0L
+  }
+
   it should "keep spatially close points close in key order (locality)" in {
     // points on a 256x256 grid; a 16x16 query box should map to few key runs
     val pts = for (x <- 0L until 256L; y <- 0L until 256L) yield (x, y)
