@@ -236,9 +236,11 @@ object SkewSalting {
       l.where(mightContain(keyHash))
     } else l.join(rKeys, keyCols, "left_semi")
     val keptL =
-      if (leftBucketed)
-        filteredL.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else filteredL.localCheckpoint(false)
+      if (leftBucketed) {
+        val p = filteredL.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        bucketedSlices.add(p)
+        p
+      } else filteredL.localCheckpoint(false)
 
     // both counts are delta-scaled now; pairable = both sides present
     val lc = keptL.groupBy(keys: _*).agg(count(lit(1)).as("lcount"))
@@ -276,6 +278,24 @@ object SkewSalting {
       keyCols :+ "salt")
 
     coldPairs.unionByName(hotPairs).dropDuplicates("a", "b")
+  }
+
+  /** Corpus slices cached partitioning-preservingly by leftBucketed
+    * [[crossJoinPairs]] calls. Persisted handles outlive the call by
+    * design (the pair plan is lazy), so a long-lived session must release
+    * them once the plan is drained — previously they accumulated one
+    * corpus-scaled cache entry per import until LRU eviction (round-5
+    * ADVICE low). */
+  private val bucketedSlices =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Unpersist every corpus slice cached by leftBucketed
+    * [[crossJoinPairs]] calls so far. Call AFTER the pair plans have been
+    * drained (e.g. after an import's verified-edges stage commits);
+    * non-blocking. */
+  def releaseBucketedSlices(): Unit = {
+    var df = bucketedSlices.poll()
+    while (df != null) { df.unpersist(false); df = bucketedSlices.poll() }
   }
 
   private def crossPairJoin(l: DataFrame, r: DataFrame,

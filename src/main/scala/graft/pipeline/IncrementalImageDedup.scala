@@ -437,6 +437,10 @@ object IncrementalImageDedup {
         .unionByName(delta.select(col("image_id"), col("bytes")))
       ImageDedupPipeline.verifyLadder(cand, capt, shByRow, bytesTbl)
     }
+    // the verified-edges stage commit drained every candidate pair plan —
+    // release the corpus slices the leftBucketed cross joins cached
+    // (round-5 ADVICE: they otherwise accumulate one per import)
+    SkewSalting.releaseBucketedSlices()
 
     // (no separate exact-cross join: a cross-side exact dup shares caption
     // AND phash, so it is always a phash-chunk cross candidate within its
