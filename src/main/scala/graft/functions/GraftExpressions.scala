@@ -110,6 +110,21 @@ case class ShingleStringsExpr(child: Expression, k: Int)
   override def prettyName: String = "graft_shingle_strings"
 }
 
+/** band_hashes(array<bigint> sig, bands, r) → array<bigint> of per-band
+  * polynomial folds (band_idx = position). */
+case class BandHashArrExpr(child: Expression, bands: Int, r: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.bandHashArr(input.asInstanceOf[ArrayData], bands, r)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.bandHashArr($c, $bands, $r);")
+  override protected def withNewChildInternal(newChild: Expression): BandHashArrExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_band_hashes"
+}
+
 /** simhash(array<string> tokens, bits) → long weighted SimHash. */
 case class SimHashExpr(child: Expression, bits: Int)
     extends UnaryExpression {
@@ -249,6 +264,10 @@ object GraftExpressions {
   /** Fast equivalent of TextHash.strHash. */
   def strHash(s: Column): Column =
     Bridge.column(StrHashExpr(Bridge.expression(s)))
+
+  /** Compiled per-band polynomial folds of a MinHash signature. */
+  def bandHashArr(sig: Column, bands: Int, r: Int): Column =
+    Bridge.column(BandHashArrExpr(Bridge.expression(sig), bands, r))
 
   /** Compiled PQ assignment: M nearest-codebook-entry indices per code. */
   def pqCode(code: Column, cbs: Column): Column =

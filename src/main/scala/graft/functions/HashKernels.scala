@@ -218,6 +218,24 @@ object HashKernels {
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
   }
 
+  /** LSH band hashes of a MinHash signature: bands polynomial folds of r
+    * consecutive signature values each — exactly TextHash.bandHashes'
+    * per-band aggregate(slice(...)) values (parity-tested), compiled into
+    * one pass; band_idx is the array position. */
+  def bandHashArr(sig: ArrayData, bands: Int, r: Int): ArrayData = {
+    val out = new Array[Long](bands)
+    var j = 0
+    while (j < bands) {
+      var h = 0L
+      var i = j * r
+      val end = i + r
+      while (i < end) { h = (h * StrBase + sig.getLong(i)) % P; i += 1 }
+      out(j) = h
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** PQ assignment of one SQ8 code row against the slot-indexed codebook
     * (cbs[m·K + k] = centroid of subspace m, entry k): per subspace the
     * nearest entry by exact integer squared L2, ties to the LOWEST k —

@@ -70,11 +70,16 @@ object MinHashLsh {
     }
   }
 
-  /** (id, sig) → (id, band_idx, band_hash) — one row per band. */
+  /** (id, sig) → (id, band_idx, band_hash) — one row per band. Compiled
+    * kernel (BandHashArrExpr — same per-band polynomial folds as
+    * TextHash.bandHashes, parity-tested); band_idx is the explode
+    * position, cast to long to keep the original schema. */
   def bands(sig: DataFrame, b: Int = Bands, r: Int = RowsPerBand): DataFrame =
-    sig.select(col("id"), explode(bandHashes(col("sig"), b, r)).as("band"))
-      .select(col("id"), col("band.band_idx").as("band_idx"),
-        col("band.band_hash").as("band_hash"))
+    sig.select(col("id"),
+        posexplode(graft.functions.GraftExpressions.bandHashArr(col("sig"), b, r))
+          .as(Seq("band_idx", "band_hash")))
+      .select(col("id"), col("band_idx").cast("long").as("band_idx"),
+        col("band_hash"))
 
   /** Band-bucket self-join → distinct candidate pairs (a < b), salted on
     * skewed buckets. The (band_idx, band_hash) key is folded LOSSLESSLY into

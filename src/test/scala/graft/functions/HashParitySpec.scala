@@ -200,6 +200,19 @@ class HashParitySpec extends AnyFlatSpec with Matchers with SparkTestBase {
     joined.count() should be > 0L
   }
 
+  "band-hash kernel" should "equal the expression bandHashes on real docs" in {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sig = docs.select(col("doc_id"),
+      GraftExpressions.minhashShingles(TextHash.tokens(col("text")),
+        graft.config.GoldenConfig.ShingleK).as("sig"))
+      .where(col("sig").isNotNull)
+    val both = sig.select(col("doc_id"),
+      transform(TextHash.bandHashes(col("sig")), s => s("band_hash")).as("slow"),
+      GraftExpressions.bandHashArr(col("sig"), Bands, RowsPerBand).as("fast"))
+    both.where(col("slow") =!= col("fast")).count() shouldBe 0L
+    both.count() should be > 0L
+  }
+
   "band hashes" should "fold r consecutive signature values" in {
     import spark.implicits._
     val df = Seq(Seq("aa", "bb", "cc", "dd")).toDF("shingles")
