@@ -15,20 +15,12 @@ import graft.operators._
   */
 object Queries {
 
-  /** Feed the cores: a small parquet (one row group) scans as ONE
-    * partition, and a compute-bound map pipeline downstream of it runs on
-    * one core no matter how many the session has (measured: 9 s
-    * single-core vs ~1 s spread, sf0.1). Repartition ONLY when the scan
-    * has fewer splits than cores — at real scale inputs arrive in
-    * thousands of splits and this is a no-op. Applied at SPECIFIC
-    * compute-bound call sites, not in the loaders: a blanket loader
-    * rebalance re-pays the exchange at every re-reference inside
-    * iterative queries (CC, k-means) — measured +12 s across the suite. */
-  private def balanced(df: DataFrame): DataFrame = {
-    val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
-  }
-
+  // Round-5's balanced() helper (repartition a single-split scan across
+  // the cores before compute-heavy maps) is retired: after this round's
+  // compiled kernels the per-row work it spread out costs less than the
+  // exchange it added (q03 0.53 s with vs 0.29 s without; q70 equal) —
+  // and at real scale inputs arrive in thousands of splits, where it was
+  // a no-op by construction either way.
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
   private def emb(spark: SparkSession, dir: String): DataFrame =
@@ -49,7 +41,7 @@ object Queries {
       .orderBy("token")
 
   def shingleStats(s: SparkSession, dir: String): DataFrame =
-    balanced(docs(s, dir)).select(col("doc_id"),
+    docs(s, dir).select(col("doc_id"),
       size(functions.GraftExpressions.shingleStrings(tokens(col("text")), ShingleK))
         .cast("long").as("n_shingles"))
       .orderBy("doc_id")
@@ -373,7 +365,7 @@ object Queries {
     * addition, O(depth·width) shuffle regardless of distinct-token count. */
   def countMinQ(s: SparkSession, dir: String): DataFrame =
     Sketches.countMin(
-        balanced(docs(s, dir)).select(explode(tokens(col("text"))).as("tok"))
+        docs(s, dir).select(explode(tokens(col("text"))).as("tok"))
           // the codegen kernel hash: cmCells references it CmDepth times,
           // and the interpreted char-fold builtin inlined 4× was 10 s at
           // sf0.1 vs ~1 s compiled (README "custom Catalyst expressions")
