@@ -92,7 +92,8 @@ object Queries {
       MinHashLsh.bands(MinHashLsh.signaturesFromText(reps, "id", "text")))
     val repEdges = MinHashLsh.verifyPairs(cand, sh).select(col("a"), col("b"))
     val repClusters =
-      ConnectedComponents.run(s, repEdges, Some(reps.select(col("id"))))
+      ConnectedComponents.run(s, repEdges, Some(reps.select(col("id"))),
+          edgesCanonical = true) // selfJoinPairs output: distinct, a < b
         .localCheckpoint(false) // consumed by the rep leg AND the member join
     repClusters.unionByName(
       star.join(repClusters.withColumnRenamed("id", "_r"), col("a") === col("_r"))

@@ -399,7 +399,8 @@ object AnnSearch {
       assigned.select("cid", "id"), Seq("cid"), "id", saltCap, saltFanout)
     val edges = verifyCosine(cand, corpus, tau)
     val comp = ConnectedComponents.run(spark, edges,
-      nodes = Some(corpus.select("id")))
+      nodes = Some(corpus.select("id")),
+      edgesCanonical = true) // selfJoinPairs + cosine filter: distinct, a < b
     val memb = comp.withColumnRenamed("cluster_id", "group_id")
       .join(assigned.select("id", "ccos"), "id")
     val keepers = memb.groupBy("group_id")

@@ -37,10 +37,16 @@ object ConnectedComponents {
     *              edges serves stale state.
     * @return (id, cluster_id) with cluster_id = min id of the component.
     */
+  /** @param edgesCanonical the caller GUARANTEES edges are already
+    *        distinct with a < b (e.g. SkewSalting pair outputs) — skips
+    *        the initial normalize+distinct pass (one exchange + one scan).
+    *        Passing true for non-canonical edges yields wrong clusters;
+    *        leave false when unsure. */
   def run(spark: SparkSession, edges: DataFrame, nodes: Option[DataFrame] = None,
           maxIter: Int = 50,
           store: Option[graft.pipeline.StageStore] = None,
-          checkpointEvery: Int = 10): DataFrame = {
+          checkpointEvery: Int = 10,
+          edgesCanonical: Boolean = false): DataFrame = {
     val idType = edges.schema("a").dataType
     require(edges.schema("b").dataType == idType, "edge endpoints must share a type")
 
@@ -61,6 +67,8 @@ object ConnectedComponents {
         // isDone just returned true, so compute is never forced
         store.get.stage(s"cc_edges_$startIter")(
           sys.error("unreachable: completed stage must not recompute"))
+      else if (edgesCanonical)
+        edges.select(col("a"), col("b")).localCheckpoint(false)
       else edges.select(col("a"), col("b")).where(col("a") =!= col("b"))
         .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
         .distinct()

@@ -98,17 +98,21 @@ object SkewSalting {
     val multi = counts.where(col("bcount") >= 2L)
     val hotKeys = multi.where(col("bcount") > cap).select(keys: _*)
 
-    // one action decides the singleton strategy: how many rows sit in
-    // multi-member buckets (the only ones that can pair) vs singletons
+    // one action decides BOTH strategies: singleton handling (multi-bucket
+    // vs singleton row mass) and whether any hot bucket exists at all —
+    // the hot count rides the same aggregate, so skipping the entire
+    // salted branch below costs no extra job
     val st = counts.agg(
       count(when(col("bcount") >= 2L, lit(1))).as("mb"),
       sum(when(col("bcount") >= 2L, col("bcount"))).as("mr"),
-      sum(col("bcount")).as("tr")).head()
+      sum(col("bcount")).as("tr"),
+      count(when(col("bcount") > cap.toLong, lit(1))).as("hb")).head()
     val multiBuckets = st.getLong(0)
     if (multiBuckets == 0L)
       return rows.where(lit(false)).select(col("id").as("a"), col("id").as("b"))
     val multiRows = st.getLong(1)
     val singletonRows = st.getLong(2) - multiRows
+    val hotBuckets = st.getLong(3)
 
     // xxhash64 folds any key shape into one long for the bloom; a hash
     // collision only makes a singleton look multi-member (FP-safe).
@@ -122,6 +126,13 @@ object SkewSalting {
         val mightContain = udf((h: Long) => bc.value.mightContain(h))
         rows.where(mightContain(keyHash))
       } else rows.join(multi.select(keys: _*), keyCols, "left_semi")
+
+    // no hot bucket → the anti/semi splits, the salted joins and the
+    // union are dead plan weight (several AQE stage-jobs); skip them.
+    // Data-adaptive, not a scale assumption: the salted branch engages
+    // exactly when a bucket actually exceeds cap.
+    if (hotBuckets == 0L)
+      return pairJoin(kept, kept, keyCols, verifyCols).dropDuplicates("a", "b")
 
     val cold = kept.join(broadcast(hotKeys), keyCols, "left_anti")
     val coldPairs = pairJoin(cold, cold, keyCols, verifyCols)
