@@ -39,10 +39,13 @@ object RangeJoin {
             // end is exclusive: the last covered chunk holds end-1
             floorDiv(col(endCol).cast("long") - 1, chunk)))))
       .withColumn("_chunk", explode(col("_chunks"))).drop("_chunks")
+    // side-qualified references throughout (round-5 ADVICE low): a caller
+    // passing the same column NAME for both sides would otherwise hit an
+    // ambiguous-reference AnalysisException on the key/time predicates
     p.join(iv, p("_chunk") === iv("_chunk") &&
-        col(pointKey) === col(intervalKey) &&
-        col(pointTime).cast("long") >= col(startCol).cast("long") &&
-        col(pointTime).cast("long") < col(endCol).cast("long"))
+        p(pointKey) === iv(intervalKey) &&
+        p(pointTime).cast("long") >= iv(startCol).cast("long") &&
+        p(pointTime).cast("long") < iv(endCol).cast("long"))
       .drop("_chunk")
   }
 
