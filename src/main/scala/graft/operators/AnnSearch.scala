@@ -612,7 +612,15 @@ object AnnSearch {
         .select(col("k"), explode(pqSubArr(col("code"))).as("e"))
         .select(col("e.m").as("m"), col("k"), col("e.sub").as("cent")))
       .localCheckpoint(false)
-    if (codes.select(lit(1)).head(1).isEmpty) return cbs // empty input: empty codebook
+    // loud geometry guard (round-5 ADVICE low): with fewer than PqK
+    // training rows the slot-indexed codebook would be sparse and slot
+    // arithmetic misaligned — the OLD formulation silently produced wrong
+    // ranks there; fail instead. Empty input keeps the empty-codebook
+    // contract. The limit-count probe is ≤ PqK rows.
+    val nInit = codes.select(lit(1)).limit(PqK).count()
+    if (nInit == 0L) return cbs
+    require(nInit >= PqK,
+      s"PQ training needs >= $PqK corpus rows, got $nInit")
     (1 to iters).foreach { _ =>
       // assignment via the compiled pqCode kernel (one pass per code row —
       // the nested least(struct) fold was interpreted), exploded to
@@ -663,6 +671,9 @@ object AnnSearch {
     * others), mirroring [[sq8TopK]].
     * @return (query_id, rank, neighbor_id, adist) */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int = AnnTopK): DataFrame = {
+    val d = dimOf(corpus)
+    require(d == 0 || d == PqM * PqSubLen, // loud instead of misaligned slots
+      s"pqTopK needs dim == ${PqM * PqSubLen} (PqM*PqSubLen), got $d")
     val codes = sq8Encode(corpus).localCheckpoint(false)
     val cbs = pqTrainRow(codes)
     val enc = pqEncodeRow(codes, cbs)
