@@ -414,9 +414,15 @@ object TextAnalysis {
     *   - ≥ 80% of words contain an alphabetic char        (5·a ≥ 4·n)
     *   - ≥ minStop distinct required stopwords present
     *
-    * Words = non-empty lowercase space tokens; lines = the text split on
-    * the LITERAL `sep`, trimmed, empties dropped (the [[dupLineStats]]
-    * convention). Zero-word / zero-line documents pass the vacuous ratio
+    * Words = non-empty lowercase SINGLE-SPACE tokens; lines = the text
+    * split on the LITERAL `sep`, trimmed, empties dropped (the
+    * [[dupLineStats]] convention). PINNED DIVERGENCE from the paper: a
+    * token spanning a `sep` boundary ("a\nb") counts as ONE word here,
+    * because words split on ' ' only, not on the line separator — the
+    * oracled corpus delimits with " line " so both engines agree, and the
+    * convention is frozen with the oracle hash; normalizing `sep` to a
+    * space first would change q64's declared results. Zero-word /
+    * zero-line documents pass the vacuous ratio
     * rules (0 ≤ 0) and fail the word-count floor, mirroring the paper's
     * remove-empty behavior. Emits the metric columns, one boolean per
     * rule, and the conjunction `keep` — the caller cuts on `keep` or
