@@ -599,8 +599,8 @@ object Queries {
     * per-doc match counts for emails / IPv4s / phone-like digit runs and
     * the redacted text. Pure map-side codegen'd regex scan. */
   def piiScrub(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.piiScrub(docs(s, dir), "doc_id", "text")
-      .withColumnRenamed("id", "doc_id")
+    mapOnce(TextAnalysis.piiScrub(docs(s, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id"))
       .orderBy("doc_id")
 
   /** Eval-benchmark contamination check: eval set = doc_id % 17 == 0,
@@ -670,8 +670,8 @@ object Queries {
     * the operator itself defaults to "\n" — see TextAnalysis.dupLineStats
     * and the multi-line fixtures in its spec. */
   def dupLines(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.dupLineStats(docs(s, dir), "doc_id", "text", sep = " line ")
-      .withColumnRenamed("id", "doc_id")
+    mapOnce(TextAnalysis.dupLineStats(docs(s, dir), "doc_id", "text", sep = " line ")
+      .withColumnRenamed("id", "doc_id"))
       .orderBy("doc_id")
 
   /** Corpus-wide exact line dedup (RefinedWeb/C4-style sub-document
